@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates every named plan registry in the engine; each entry
+has a matching DuckDB oracle in ``oracle_sql()`` unless the op is genuinely
+non-SQL-expressible (those get the driver's weaker rows-only check and are
+marked in their module docstrings).
 """
 
 from __future__ import annotations
@@ -14,25 +13,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registries():
+    """(QUERIES, ORACLE) pairs from every plan/operator module."""
+    import importlib
+
+    mods = [
+        "mta_rtf_dbt_spark.plans.relational",
+        "mta_rtf_dbt_spark.metrics.events_analog",
+        "mta_rtf_dbt_spark.operators.dedup",
+        "mta_rtf_dbt_spark.operators.similarity",
+        "mta_rtf_dbt_spark.operators.textops",
+        "mta_rtf_dbt_spark.operators.multimodal",
+    ]
+    out = []
+    for m in mods:
+        try:
+            mod = importlib.import_module(m)
+        except ImportError:
+            continue
+        out.append((getattr(mod, "QUERIES", {}), getattr(mod, "ORACLE", {})))
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary at sf0.001 (SURVEY.md §7.3)."""
+    from mta_rtf_dbt_spark.plans.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for qs, _ in _registries():
+        merged.update(qs)
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    merged: dict[str, str] = {}
+    for _, osql in _registries():
+        merged.update(osql)
+    return merged

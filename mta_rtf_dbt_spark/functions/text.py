@@ -1,0 +1,107 @@
+"""Text-analysis expression library for the LLM-data-pipeline operators.
+
+All helpers are Column expressions built from ``pyspark.sql.functions`` —
+JVM-side, codegen-eligible, no Python in the hot path. They feed
+:mod:`mta_rtf_dbt_spark.operators.textops` and
+:mod:`mta_rtf_dbt_spark.operators.dedup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker profiles for the heuristic language-ID scorer.
+# Deliberately simple + deterministic (public-knowledge stopword lists) so an
+# ANSI-SQL oracle can mirror the scoring exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "zai", "you"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["that", "for", "on", "with", "as", "are"]
+
+_WS = r"\s+"
+
+
+def normalize(col: Column) -> Column:
+    """Canonical form used for fingerprinting/dedup: lowercase, collapse
+    whitespace runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank text)."""
+    return F.filter(F.split(F.trim(col), _WS), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: count maximal runs of word chars, digits,
+    or single punctuation marks (a BPE-flavored regex, not a trained BPE)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+        )
+    )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-gram shingles over the normalized text -> array<string>.
+
+    Expressed with sequence+substr (no UDF): one array op per row, linear in
+    text length, fully distributed."""
+    norm = normalize(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(norm, i, F.lit(n)))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (space-joined)."""
+    toks = tokens(normalize(col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.try_divide(F.length(stripped).cast("double"), F.length(col).cast("double"))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a quality signal."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker-hit count for one language over lowercased tokens."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def fingerprint_sha(col: Column) -> Column:
+    """Deterministic document fingerprint: sha256 of the normalized text."""
+    return F.sha2(normalize(col), 256)
+
+
+def fingerprint_rolling(col: Column, window: int = 8) -> Column:
+    """Rolling-hash style fingerprint: min of xxhash64 over character
+    ``window``-grams of the normalized text (a winnowing-flavored signature —
+    cheap, shift-tolerant, pure Column ops)."""
+    grams = char_ngrams(col, window)
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

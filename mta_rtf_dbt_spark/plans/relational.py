@@ -1,0 +1,824 @@
+"""Generic relational operator plans over the driver's TPC-H-ish testdata.
+
+One named query per operator family in SURVEY.md §2 (§2.2 projection/filter,
+§2.3 joins, §2.4 aggregations, §2.5 windows, §2.6 sort/limit, §2.7 set ops,
+§2.8 scalar functions), each paired with an ANSI-SQL oracle that DuckDB runs
+on the same parquet — the driver's correctness gate.
+
+Determinism rules (so order-insensitive value hashes match bit-for-bit):
+
+- Money aggregates go through ``DECIMAL(18,s)`` so summation order cannot
+  perturb low bits; the final cast back to DOUBLE is exact on both engines.
+- Ratios are computed as (exact integer / exact integer) — one IEEE division
+  of identical operands is identical.
+- Any float produced by genuinely float math (percentiles, rolling sums) is
+  ``round(x, 6)`` on both sides.
+- Every top-k / argmin has a unique tiebreaker column (D5).
+
+Scale notes are inline per query — these same plans are the ones we'd ship
+against 100 TB (broadcast hints on dims, banded self-join instead of a
+per-key cross product, map-side-combinable min_by/max_by instead of
+collect+sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import bq
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _dec(c, scale: int = 2):
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1/A4/A6 + §2.8 arithmetic — flagship: TPC-H Q1 pricing summary.
+# ---------------------------------------------------------------------------
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-agg with partial/final combine (A1, A4, F19). Scale: pure
+    map-side-combinable agg — shuffles only |groups| rows per partition."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    charge = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    )
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt).alias("avg_price"),
+        (F.sum(_dec(F.col("l_discount"))).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P1/P3 — projection + rename + pushed-down filter.
+# ---------------------------------------------------------------------------
+@q(
+    "p1_project_rename_filter",
+    """
+    SELECT l_orderkey AS okey, l_linenumber AS line_no,
+           l_extendedprice AS price, l_shipdate AS ship_ts
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+    """,
+)
+def p1_project_rename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3 (fact_trips_stops.sql:4-14, fact_delays.sql:54). The filter and
+    4-column projection reach the parquet scan (PushedFilters/ReadSchema)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_shipdate").alias("ship_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P4/P5/P6 — null tests, OR disjunction, BETWEEN, CASE WHEN.
+# ---------------------------------------------------------------------------
+@q(
+    "p456_predicates_case",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority IS NULL THEN 'unknown'
+                ELSE 'standard' END AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '2024-02-01' AND TIMESTAMP '2024-11-30'
+      AND (o_orderstatus = 'F' OR o_totalprice IS NOT NULL)
+    GROUP BY 1
+    """,
+)
+def p456_predicates_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 null-test OR-disjunction (fact_delays.sql:55), P5 BETWEEN
+    (metrics_guide.md:33), P6 CASE WHEN (fact_trips_stops.sql:130-133),
+    A2 group-by-ordinal via named expression."""
+    o = load(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority").isNull(), "unknown")
+        .otherwise("standard")
+    )
+    return (
+        o.filter(
+            F.col("o_orderdate").between("2024-02-01", "2024-11-30")
+            & ((F.col("o_orderstatus") == "F") | F.col("o_totalprice").isNotNull())
+        )
+        .groupBy(cls.alias("priority_class"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J1 — inner fact-fact equi join.
+# ---------------------------------------------------------------------------
+@q(
+    "j1_inner_join_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def j1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 parent-child inner join (fact_trips_stops.sql:120). Scale: both
+    sides shuffle-partition on the join key; AQE picks SMJ/SHJ and handles
+    skew. No broadcast — both sides are facts."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J2/J8 — chained left broadcast dim joins (star).
+# ---------------------------------------------------------------------------
+@q(
+    "j2_left_broadcast_dims",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j2_left_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left dim lookup + J8 chained star (fact_trips_stops.sql:121-122,
+    fact_alerts.sql:87-93). Scale: explicit broadcast of the dims — zero
+    shuffle for the joins; only the final agg shuffles."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J3 — left join on a pre-aggregated child (join-aggregate pattern).
+# ---------------------------------------------------------------------------
+@q(
+    "j3_join_preagg_child",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS line_cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COALESCE(line_cnt, 0) AS line_cnt,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(COALESCE(total_qty, 0) AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def j3_join_preagg_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 aggregate-child-then-left-join (fact_alerts.sql:88-91). Scale: the
+    child agg and the join share the l_orderkey partitioning — Catalyst reuses
+    the exchange instead of re-shuffling."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+        .groupBy(F.coalesce("line_cnt", F.lit(0)).alias("line_cnt"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.coalesce("total_qty", F.lit(0)))).cast("double").alias("qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J4/J8 — same dim joined twice under two aliases (6-way star).
+# ---------------------------------------------------------------------------
+@q(
+    "j4_dim_double_alias_star",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def j4_dim_double_alias_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 double-aliased dim (fact_trips.sql:88-89: stops as fs/ls) + J8
+    multi-way star. Scale: one fact-fact shuffle (orders), everything else
+    broadcast; nation is broadcast twice under distinct aliases."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("cn.n_name").alias("cust_nation"), F.col("sn.n_name").alias("supp_nation")
+        )
+        .agg(F.count("*").alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J5 — USING-style name join; §2.3 J7 — cast on the join key.
+# ---------------------------------------------------------------------------
+@q(
+    "j5_j7_using_cast_key",
+    """
+    SELECT n_name AS nation_name, COUNT(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON CAST(s_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
+    GROUP BY n_name
+    """,
+)
+def j5_j7_using_cast_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 cross-type cast on the join key (metrics_guide.md:100 joins int
+    stop_sequence against CAST(min_seq AS STRING), D6 type drift)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(
+            F.broadcast(n),
+            s.s_nationkey.cast("string") == n.n_nationkey.cast("string"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J6 — equi join + range residual, written as a scalable banded join.
+# ---------------------------------------------------------------------------
+@q(
+    "j6_banded_range_join",
+    """
+    SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_gap_sec
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+                 AND b.ts > a.ts
+                 AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def j6_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 equi+range residual (metrics_guide.md:232-237: join on trip_uid then
+    ts_b >= ts_a). Scale path: instead of a per-user cross product filtered
+    after the fact, each left row is exploded to its two candidate hour
+    buckets and the join runs on (user_id, bucket) — the distributed band-join
+    pattern; the residual touches only rows within one hour."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    hour_bkt = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+    a = (
+        e.withColumn("bkt_a", hour_bkt)
+        .withColumn("bkt", F.explode(F.array(F.col("bkt_a"), F.col("bkt_a") + 1)))
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+            F.col("event_type").alias("etype_a"),
+            "bkt",
+        )
+    )
+    b = e.withColumn("bkt", hour_bkt).select(
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("etype_b"),
+        "bkt",
+    )
+    pairs = a.join(b, (a.user_a == b.user_b) & (a.bkt == b.bkt)).filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR"))
+    )
+    gap_us = F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))
+    return pairs.groupBy("etype_a", "etype_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(gap_us).cast("double") / F.count("*") / F.lit(1_000_000), 6).alias(
+            "avg_gap_sec"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (§2.3 "available in Spark" row).
+# ---------------------------------------------------------------------------
+@q(
+    "j_semi_anti",
+    """
+    SELECT 'with_orders' AS cohort, COUNT(*) AS n_customers FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS cohort, COUNT(*) AS n_customers FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — the Spark-native forms of EXISTS / NOT EXISTS.
+    Scale: semi/anti joins shuffle only the distinct keys of the right side."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_orders").alias("cohort"), "n_customers")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_orders").alias("cohort"), "n_customers")
+    )
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A3 — deterministic ANY_VALUE policy (D4).
+# ---------------------------------------------------------------------------
+@q(
+    "a3_any_value_det",
+    """
+    SELECT c_mktsegment AS segment, MIN(c_name) AS any_name, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a3_any_value_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/D4: the engine exposes any_value but shipped plans use the
+    deterministic pick (min) so oracle hashes are stable
+    (fact_trips.sql:26-32, fact_alerts.sql:15,22)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(bq.any_value_det(F.col("c_name")).alias("any_name"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A5 + §2.6 O2/O3 — argmin/argmax with nulls-last + unique tiebreak.
+# ---------------------------------------------------------------------------
+@q(
+    "a5_argmin_argmax",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC,  event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           MIN(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+           MIN(CASE WHEN rn_a = 1 THEN ts END)         AS first_ts,
+           MIN(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+           MIN(CASE WHEN rn_d = 1 THEN ts END)         AS last_ts
+    FROM ranked GROUP BY user_id
+    """,
+)
+def a5_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the reference's ARRAY_AGG(ORDER BY ... LIMIT 1)[OFFSET(0)] idiom
+    (fact_trips.sql:42-57) as min_by/max_by over composite struct keys —
+    map-side combinable, no per-group sort, no array materialization. The
+    event_id tiebreaker is the D5 determinism fix."""
+    e = load(spark, sf_dir, "events")
+    ts, eid = F.col("ts"), F.col("event_id")
+    return e.groupBy("user_id").agg(
+        bq.argmin(F.col("event_type"), ts, eid).alias("first_type"),
+        bq.argmin(ts, ts, eid).alias("first_ts"),
+        bq.argmax(F.col("event_type"), ts, eid).alias("last_type"),
+        bq.argmax(ts, ts, eid).alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6/A7/A8/A10 — distinct counts, COUNTIF, rate, SAFE_DIVIDE.
+# ---------------------------------------------------------------------------
+@q(
+    "a678_counts_rates",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           count_if(value > 50) AS n_high,
+           CAST(count_if(value > 50) AS DOUBLE) / COUNT(*) AS high_rate,
+           CAST(count_if(value > 98) AS DOUBLE) / NULLIF(count_if(value > 99.5), 0) AS ratio_98_995
+    FROM events GROUP BY event_type
+    """,
+)
+def a678_counts_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 COUNT DISTINCT, A7 COUNTIF, A8 rate idiom, A10 SAFE_DIVIDE
+    (metrics_guide.md:131-133,285,291-292,302-303). All ratios are exact-int /
+    exact-int -> one IEEE division, hash-stable."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        bq.countif(v > 50).alias("n_high"),
+        (bq.countif(v > 50).cast("double") / F.count("*")).alias("high_rate"),
+        bq.safe_divide(
+            bq.countif(v > 98).cast("double"), bq.countif(v > 99.5)
+        ).alias("ratio_98_995"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A9 — percentiles (exact for the oracle, approx for the scale path).
+# ---------------------------------------------------------------------------
+@q(
+    "a9_percentiles",
+    """
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50_value,
+           ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/D7: APPROX_QUANTILES (metrics_guide.md:270-271) — exact
+    ``percentile`` here so the oracle matches; production plans swap in
+    ``percentile_approx`` (single-pass sketch) at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets family (§2.4 "absent but available"): ROLLUP.
+# ---------------------------------------------------------------------------
+@q(
+    "a_rollup",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W2 — window dedup (QUALIFY rewrite, D8) picking latest row per key.
+# ---------------------------------------------------------------------------
+@q(
+    "w2_dedup_latest_per_user",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w2_dedup_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/D8: the reference's QUALIFY rn=1 snapshot dedup
+    (metrics_guide.md:188-191) — Spark has no QUALIFY, so window column +
+    filter. Scale: one shuffle on user_id; AQE coalesces output partitions."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W1/W3 + §2.2 P7 — global row_number, LAG, post-window filter.
+# ---------------------------------------------------------------------------
+@q(
+    "w3_lag_headway",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(CAST((epoch_us(ts) - epoch_us(prev_ts) -
+                ((epoch_us(ts) - epoch_us(prev_ts)) % 1000000)) // 1000000 AS BIGINT)) AS BIGINT) AS total_gap_sec
+    FROM seq WHERE prev_ts IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w3_lag_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 LAG-based headway (metrics_guide.md:193-200) + P7 post-window filter
+    (WHERE rn > 1 analogue) + D9 truncate-toward-zero second diffs."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = bq.timestamp_diff(F.col("ts"), F.col("prev_ts"), "SECOND")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"), F.sum(gap).alias("total_gap_sec"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame specs (§2.5 "absent but available"): ROWS BETWEEN rolling window.
+# ---------------------------------------------------------------------------
+@q(
+    "w_rolling_frame",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3
+      FROM events
+    )
+    SELECT user_id, event_id, rolling3 FROM seq
+    """,
+)
+def w_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS BETWEEN frame spec — sums ≤3 doubles in a deterministic order, so
+    round(.,6) hash-matches."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 6).alias("rolling3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 O1 — deterministic multi-column top-k.
+# ---------------------------------------------------------------------------
+@q(
+    "o1_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 multi-col ORDER BY + LIMIT (metrics_guide.md:35,...). Scale: Spark
+    plans sort+limit as TakeOrderedAndProject — per-partition top-k then a
+    single-driver merge of k·p rows, never a global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations (absent in the reference; engine capability).
+# ---------------------------------------------------------------------------
+@q(
+    "set_ops",
+    """
+    WITH hot AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+         big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+    SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT k FROM hot UNION ALL SELECT k FROM big) t
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM hot INTERSECT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM hot EXCEPT SELECT k FROM big) t
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    hot = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    rows = [
+        ("union_all", hot.unionAll(big)),
+        ("intersect", hot.intersect(big)),
+        ("except", hot.subtract(big)),
+    ]
+    outs = [
+        df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n") for op, df in rows
+    ]
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar string/hash pack — F1-F4, F15, D2 regexp-null.
+# ---------------------------------------------------------------------------
+@q(
+    "f_string_hash_pack",
+    """
+    SELECT p_partkey,
+           p_brand || '|' || p_type AS brand_type,
+           sha256(COALESCE(p_name, 'UNK')) AS name_hash,
+           NULLIF(regexp_extract(p_type, '^[A-Z]+'), '') AS type_head,
+           NULLIF(regexp_extract(p_name, '^[0-9]+'), '') AS digit_prefix,
+           split_part(p_type, ' ', 1) AS first_word,
+           UPPER(p_brand) AS brand_upper,
+           LENGTH(p_name) AS name_len
+    FROM part
+    """,
+)
+def f_string_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 CONCAT null-propagation (D3), F2 COALESCE, F3 REGEXP_EXTRACT with
+    BQ null-on-no-match (D2 — digit_prefix is NULL for every part name), F4
+    TO_HEX(SHA256()), F15 SPLIT[OFFSET], plus upper/length."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        bq.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        bq.to_hex_sha256(F.coalesce(F.col("p_name"), F.lit("UNK"))).alias("name_hash"),
+        bq.regexp_extract(F.col("p_type"), r"^[A-Z]+").alias("type_head"),
+        bq.regexp_extract(F.col("p_name"), r"^[0-9]+").alias("digit_prefix"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("first_word"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 datetime pack — F7-F14, D9 trunc-toward-zero, D11 tz shift.
+# ---------------------------------------------------------------------------
+@q(
+    "f_datetime_pack",
+    """
+    SELECT event_id,
+           date_trunc('minute', ts) AS ts_minute,
+           date_trunc('hour', ts) AS ts_hour,
+           CAST(ts - INTERVAL 5 HOUR AS DATE) AS ny_date,
+           dayofweek(CAST(ts - INTERVAL 5 HOUR AS DATE)) + 1 AS ny_dow,
+           CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS unix_sec,
+           CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) // 300 AS bucket_5min,
+           CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+                 - ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00')) % 60000000))
+                // 60000000 AS BIGINT) AS min_from_mid_jan,
+           strftime(ts - INTERVAL 5 HOUR, '%H:%M:%S') AS ny_time_str
+    FROM events
+    """,
+)
+def f_datetime_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 TIMESTAMP_TRUNC, F10 UNIX_SECONDS + 5-min DIV bucket, F11
+    DATE(ts, tz), F12 FORMAT_TIMESTAMP('%T'), F14 EXTRACT(DAYOFWEEK) (1=Sun on
+    both after the +1 on DuckDB's 0=Sun), F8/D9 TIMESTAMP_DIFF MINUTE with
+    truncation toward zero (negative for early January). The events span
+    January only, so America/New_York is a constant UTC-5 — the oracle uses
+    the fixed offset while the engine does the real tz shift (D11)."""
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    mid_jan = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        bq.timestamp_trunc(ts, "minute").alias("ts_minute"),
+        bq.timestamp_trunc(ts, "hour").alias("ts_hour"),
+        bq.local_date(ts, "America/New_York").alias("ny_date"),
+        F.dayofweek(bq.local_date(ts, "America/New_York")).alias("ny_dow"),
+        bq.unix_seconds(ts).alias("unix_sec"),
+        bq._trunc_div(bq.unix_seconds(ts), 300).alias("bucket_5min"),
+        bq.timestamp_diff(ts, mid_jan, "MINUTE").alias("min_from_mid_jan"),
+        bq.local_time_str(ts, "America/New_York").alias("ny_time_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F13/D10 — GTFS clock strings with HH >= 24.
+# ---------------------------------------------------------------------------
+@q(
+    "f_gtfs_clock_overflow",
+    """
+    WITH clk AS (
+      SELECT event_id,
+             CAST(floor(value * 0.3) AS BIGINT) AS hh,
+             CAST(event_id % 60 AS BIGINT) AS mm,
+             CAST(event_id % 7 * 8 AS BIGINT) AS ss
+      FROM events
+    )
+    SELECT CAST(TIMESTAMP '2024-01-01 00:00:00'
+                + hh * INTERVAL 1 HOUR + mm * INTERVAL 1 MINUTE + ss * INTERVAL 1 SECOND
+           AS TIMESTAMP) AS sched_ts,
+           COUNT(*) AS n
+    FROM clk GROUP BY 1
+    """,
+)
+def f_gtfs_clock_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: GTFS '25:30:00'-style clock strings (metrics_guide.md:92-96) must
+    be parsed as midnight + H/M/S intervals, never to_timestamp. Synthesizes
+    HH in 0..30 from event values (floor on identical doubles on both
+    engines — no rounding-mode divergence)."""
+    e = load(spark, sf_dir, "events")
+    hh = F.floor(F.col("value") * 0.3).cast("long")
+    mm = (F.col("event_id") % 60).cast("long")
+    ss = (F.col("event_id") % 7 * 8).cast("long")
+    # format_string pads without truncating (lpad would clip 3-digit hours).
+    hms = F.format_string("%02d:%02d:%02d", hh, mm, ss)
+    sched = bq.gtfs_time_to_ts(F.lit("2024-01-01"), hms)
+    return e.select(sched.alias("sched_ts")).groupBy("sched_ts").agg(
+        F.count("*").alias("n")
+    )

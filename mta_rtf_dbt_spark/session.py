@@ -1,0 +1,81 @@
+"""SparkSession factory with pinned semantics.
+
+The reference executes on BigQuery; the semantic pins below make Spark behave
+compatibly (SURVEY.md §4 divergence ledger):
+
+- ``spark.sql.session.timeZone=UTC``  — BigQuery TIMESTAMP is UTC; all civil-time
+  shifts are explicit ``from_utc_timestamp`` calls (D11).
+- ``spark.sql.ansi.enabled=false``    — bad casts yield NULL like BigQuery
+  ``SAFE_CAST`` call-sites expect (D1); Spark 4 defaults ANSI on.
+- AQE on — runtime broadcast switching + skew-join handling (SURVEY.md §4 table).
+
+``pin_session`` applies the runtime-settable subset to an externally provided
+session (the driver harness constructs its own SparkSession), so every query in
+``__spark_entry__.queries()`` behaves identically regardless of who built the
+session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every query depends on. Applied defensively by each
+# public query entry point because the verify driver owns its own session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+# Build-time confs (need to be set before the JVM context exists).
+BUILD_CONFS: dict[str, str] = {
+    # Arrow for pandas_udf / mapInPandas hot paths (operators/).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 100 TB posture: generous broadcast ceiling for dimension tables; AQE will
+    # still runtime-convert larger-than-estimated sides back to shuffle joins.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime semantic pins to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable in this deployment — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "mta-rtf-dbt-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — right-sized for
+    local[32] test runs; a cluster deployment passes ~2-3x total cores (AQE
+    coalesces the excess).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+    )
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return pin_session(spark)

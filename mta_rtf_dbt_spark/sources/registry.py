@@ -1,0 +1,86 @@
+"""Source registry — the Spark analogue of dbt's ``source()`` +
+``mta_sources.yml`` declaration layer (S1; reference mta_sources.yml:3-178).
+
+Two families of sources:
+
+- **Generic testdata** (TPC-H-ish; TESTDATA.md): parquet files under an
+  ``sf_dir``; loaded lazily and registered as temp views so Spark SQL and the
+  DataFrame API share one catalog namespace, mirroring how every dbt model
+  resolved ``source('mta', t)`` to a warehouse relation.
+- **MTA-shaped fixtures** (FIXTURES.md): generated deterministically by
+  :mod:`mta_rtf_dbt_spark.sources.fixtures`, same registry mechanics.
+
+Scale posture: a registered source is just ``spark.read.parquet(path)`` — on a
+cluster the same registry points at partitioned directories and Catalyst gets
+partition pruning + predicate pushdown for free; nothing here materializes.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables a planner should always be willing to broadcast.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Parquet TIMESTAMP(NANOS) columns — Spark can't map them to
+    TimestampType natively (PARQUET_TYPE_ILLEGAL), so the loader reads them as
+    long nanos and converts. Footer-only driver-side peek, cached."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+    except Exception:
+        return ()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one source table (no action triggered — stays a lazy scan).
+
+    TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are read as long nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to micros with
+    exact integer division (``div`` — nanos exceed 2^53, float math would
+    corrupt them), matching DuckDB's nanos->micros truncation.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def register_all(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register every source as a temp view (dbt ``source()`` equivalent)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables or TESTDATA_TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,40 @@
+"""Replicates the driver's t2 correctness gate over every queries() entry that
+declares an oracle. Runs at sf0.001 by default for speed; set
+ORACLE_PARITY_SF=/root/testdata/sf0.01 to mirror the driver exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.oracle_harness import compare, register_views
+
+SF_DIR = os.environ.get("ORACLE_PARITY_SF", "/root/testdata/sf0.001")
+
+
+def _pairs():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    return [(name, fn, osql.get(name)) for name, fn in sorted(qs.items())]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_oracle_parity(spark, duck, name, fn, sql):
+    register_views(duck, SF_DIR)
+    df = fn(spark, SF_DIR)
+    if sql is None:
+        # rows-only check (driver's weaker path for non-SQL-expressible ops)
+        assert df.count() >= 0
+        return
+    errs = compare(name, df, duck, sql)
+    assert not errs, "\n".join(errs)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
