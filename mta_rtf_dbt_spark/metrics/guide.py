@@ -1,0 +1,394 @@
+"""The 12 canonical transit metrics (reference: docs/metrics_guide.md) as
+parameterized DataFrame functions — BigQuery scripting DECLAREs (P8) become
+Python arguments.
+
+Inputs: ``models`` — the built model dict (fact_trips_stops / fact_trips);
+``src`` — static source tables (trips / stop_times / calendar) where a metric
+needs schedule data. All time math goes through the bq compat layer (D9
+truncation, D10 >24h clocks, D11 tz shifts).
+
+Determinism additions over the reference (mirrored in the test oracles,
+policy D5): window/lag orderings gain a trailing ``trip_uid`` tiebreaker
+where the reference's ordering is ambiguous under ties.
+
+Scale notes: every metric is a filter → (window|aggregate) pipeline whose
+shuffles key on (route_id, direction_id[, trip_uid]) — bounded-cardinality
+keys; the screenline metrics (M5/M8/M12) filter to one stop_id *before* any
+shuffle, so the parquet scan prunes first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import bq
+
+NY = "America/New_York"
+
+
+def _ts(x: str) -> Column:
+    return F.lit(x).cast("timestamp")
+
+
+# --- M1 (metrics_guide.md:22-36) -------------------------------------------
+def m1_trips_per_minute(models, start_ts: str, end_ts: str) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    return (
+        fts.filter(F.col("feed_ts_utc").between(_ts(start_ts), _ts(end_ts)))
+        .groupBy(
+            "route_id",
+            "direction_id",
+            bq.timestamp_trunc(F.col("feed_ts_utc"), "minute").alias("ts_minute"),
+        )
+        .agg(F.countDistinct("trip_uid").alias("trips_observed"))
+        .orderBy("ts_minute", "route_id", "direction_id")
+    )
+
+
+# --- M2 (metrics_guide.md:38-52) -------------------------------------------
+def m2_trips_per_5min(models, start_ts: str, end_ts: str) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    bucket = bq.timestamp_seconds(
+        F.lit(300) * bq._trunc_div(bq.unix_seconds(F.col("feed_ts_utc")), 300)
+    )
+    return (
+        fts.filter(F.col("feed_ts_utc").between(_ts(start_ts), _ts(end_ts)))
+        .groupBy("route_id", "direction_id", bucket.alias("ts_5min"))
+        .agg(F.countDistinct("trip_uid").alias("trips_observed"))
+        .orderBy("ts_5min", "route_id", "direction_id")
+    )
+
+
+# --- M3 scheduled-side helpers (metrics_guide.md:54-138) --------------------
+def _active_services(calendar: DataFrame, service_day: str) -> DataFrame:
+    day = F.lit(service_day).cast("date")
+    dow = F.dayofweek(day)  # 1=Sunday, matching BQ EXTRACT(DAYOFWEEK)
+    flags = [
+        (1, "sunday"), (2, "monday"), (3, "tuesday"), (4, "wednesday"),
+        (5, "thursday"), (6, "friday"), (7, "saturday"),
+    ]
+    cond = F.lit(False)
+    for num, colname in flags:
+        cond = cond | ((dow == num) & (F.col(colname) == 1))
+    return calendar.filter(
+        (F.col("start_date") <= day) & (F.col("end_date") >= day) & cond
+    ).select("service_id")
+
+
+def scheduled_terminal_departures(src, service_day: str) -> DataFrame:
+    """CTEs cal/trips_active/first_stop/sched (metrics_guide.md:63-103):
+    scheduled terminal departure per active trip, >24h-clock-safe (D10)."""
+    cal = _active_services(src["calendar"], service_day)
+    trips_active = src["trips"].join(F.broadcast(cal), "service_id").select(
+        "trip_id", "route_id", "direction_id", "service_id"
+    )
+    st = src["stop_times"]
+    first_stop = st.groupBy("trip_id").agg(
+        F.min(bq.safe_cast(F.col("stop_sequence"), "long")).alias("min_seq")
+    )
+    # J7/D6: the guide joins st.stop_sequence = CAST(min_seq AS STRING) —
+    # dlt may land stop_sequence as string; compare as strings on both sides.
+    sched = (
+        trips_active.join(F.broadcast(first_stop), "trip_id")
+        .join(
+            st.alias("st"),
+            (F.col("st.trip_id") == trips_active.trip_id)
+            & (F.col("st.stop_sequence").cast("string") == F.col("min_seq").cast("string")),
+        )
+        .select(
+            trips_active.route_id,
+            trips_active.direction_id,
+            trips_active.trip_id,
+            bq.gtfs_time_to_ts(F.lit(service_day), F.col("st.departure_time")).alias(
+                "sched_departure_ts"
+            ),
+        )
+    )
+    return sched
+
+
+def first_events(models, departure_first: bool = True) -> DataFrame:
+    """CTE first_event (metrics_guide.md:108-127): first observed event per
+    (route, dir, trip_uid) by stop order. A5 argmin via min_by (BQ seq-ASC
+    nulls-first default) + stu_id tiebreaker."""
+    fts = models["fact_trips_stops"]
+    evt = (
+        F.coalesce("departure_ts_utc", "arrival_ts_utc")
+        if departure_first
+        else F.coalesce("arrival_ts_utc", "departure_ts_utc")
+    )
+    seq = F.col("stop_sequence_int")
+    key = F.struct(
+        F.when(seq.isNull(), 0).otherwise(1).alias("f0"),
+        F.coalesce(seq, F.lit(0)).alias("k1"),
+        F.col("stu_id").alias("tb"),
+    )
+    return (
+        fts.select("route_id", "direction_id", "trip_uid", "stop_sequence_int", "stu_id",
+                   evt.alias("evt"))
+        .filter(F.col("evt").isNotNull())
+        .groupBy("route_id", "direction_id", "trip_uid")
+        .agg(
+            F.min_by(F.col("stop_sequence_int"), key).alias("first_seq"),
+            F.min_by(F.col("evt"), key).alias("first_evt"),
+        )
+    )
+
+
+def m3_service_delivered(
+    models, src, service_day: str, start_local: str = "06:00:00",
+    end_local: str = "10:00:00", tz: str = NY,
+) -> DataFrame:
+    sched = scheduled_terminal_departures(src, service_day)
+    window_local = sched.filter(
+        bq.local_time_str(F.col("sched_departure_ts"), tz).between(start_local, end_local)
+    )
+    actual = first_events(models, departure_first=True).filter(
+        bq.local_time_str(F.col("first_evt"), tz).between(start_local, end_local)
+    ).select("route_id", "direction_id", "trip_uid")
+    joined = window_local.join(actual, ["route_id", "direction_id"], "left")
+    return (
+        joined.groupBy("route_id", "direction_id")
+        .agg(
+            F.countDistinct("trip_id").alias("scheduled_trips"),
+            F.countDistinct("trip_uid").alias("delivered_trips"),
+            bq.safe_divide(
+                F.countDistinct("trip_uid").cast("double"), F.countDistinct("trip_id")
+            ).alias("service_delivered"),
+        )
+        .orderBy("route_id", "direction_id")
+    )
+
+
+# --- M4 (metrics_guide.md:140-166) -----------------------------------------
+def m4_terminal_otp(
+    models, src, service_day: str, start_local: str = "06:00:00",
+    end_local: str = "10:00:00", tz: str = NY, on_time_min: int = 5,
+) -> DataFrame:
+    """Terminal OTP vs the scheduled window (the guide leaves the schedule as
+    a placeholder UNNEST([]) — wired here to M3's window_local)."""
+    sched = scheduled_terminal_departures(src, service_day).filter(
+        bq.local_time_str(F.col("sched_departure_ts"), tz).between(start_local, end_local)
+    )
+    fe = first_events(models, departure_first=True).select(
+        "route_id", "direction_id", F.col("first_evt").alias("actual_departure_ts")
+    )
+    diff_min = bq.timestamp_diff(
+        F.col("actual_departure_ts"), F.col("sched_departure_ts"), "MINUTE"
+    )
+    return (
+        sched.join(fe, ["route_id", "direction_id"], "left")
+        .groupBy("route_id", "direction_id")
+        .agg((100 * bq.rate(diff_min.between(0, on_time_min))).alias("otp_pct"))
+        .orderBy("route_id", "direction_id")
+    )
+
+
+# --- M5 (metrics_guide.md:168-201) -----------------------------------------
+def m5_headways(models, stop_id: str, service_day: str, tz: str = NY) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    seen = fts.filter(
+        (F.col("stop_id") == stop_id)
+        & (bq.local_date(F.col("event_ts_utc"), tz) == F.lit(service_day).cast("date"))
+    ).select(
+        bq.timestamp_trunc(F.col("event_ts_utc"), "second").alias("pass_ts"),
+        "route_id",
+        "direction_id",
+        "trip_uid",
+    )
+    # W2/D8: QUALIFY rn=1 -> window + filter (first observation per trip).
+    w_dedup = Window.partitionBy("trip_uid").orderBy("pass_ts")
+    deduped = (
+        seen.withColumn("rn1", F.row_number().over(w_dedup)).filter(F.col("rn1") == 1).drop("rn1")
+    )
+    # W1: global sequence; trip_uid tiebreaker for deterministic rn (D5).
+    w_global = Window.orderBy("pass_ts", "trip_uid")
+    ordered = deduped.withColumn("rn", F.row_number().over(w_global))
+    w_lag = Window.partitionBy("route_id", "direction_id").orderBy("pass_ts", "trip_uid")
+    return (
+        ordered.select(
+            "route_id",
+            "direction_id",
+            "pass_ts",
+            bq.timestamp_diff(
+                F.col("pass_ts"), F.lag("pass_ts").over(w_lag), "SECOND"
+            ).alias("headway_s"),
+            "rn",
+        )
+        .filter(F.col("rn") > 1)
+        .drop("rn")
+        .orderBy("pass_ts")
+    )
+
+
+# --- M6 (metrics_guide.md:203-214) -----------------------------------------
+def m6_dwell_times(models) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    return fts.filter(
+        F.col("arrival_ts_utc").isNotNull() & F.col("departure_ts_utc").isNotNull()
+    ).select(
+        "route_id",
+        "direction_id",
+        "stop_id",
+        "trip_uid",
+        bq.timestamp_diff(F.col("departure_ts_utc"), F.col("arrival_ts_utc"), "SECOND").alias(
+            "dwell_s"
+        ),
+    )
+
+
+# --- M7 (metrics_guide.md:216-238) -----------------------------------------
+def m7_run_time(models, stop_a: str, stop_b: str) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    a = fts.filter(F.col("stop_id") == stop_a).select(
+        "trip_uid", F.coalesce("departure_ts_utc", "arrival_ts_utc").alias("ts_a")
+    )
+    b = fts.filter(F.col("stop_id") == stop_b).select(
+        "trip_uid", F.coalesce("arrival_ts_utc", "departure_ts_utc").alias("ts_b")
+    )
+    return (
+        a.join(b, "trip_uid")
+        .filter(F.col("ts_b") >= F.col("ts_a"))  # J6 range residual
+        .select(
+            "trip_uid",
+            bq.timestamp_diff(F.col("ts_b"), F.col("ts_a"), "SECOND").alias("runtime_s"),
+        )
+    )
+
+
+# --- M8 (metrics_guide.md:240-275) -----------------------------------------
+def m8_excess_delay(models, src, service_day: str, stop_ref: str, exact: bool = True) -> DataFrame:
+    """p50/p90 delay vs schedule at a stop. ``exact=True`` uses exact
+    percentile (oracle-comparable, D7); False uses percentile_approx —
+    the single-pass sketch for the 100 TB path."""
+    st = src["stop_times"].filter(F.col("stop_id") == stop_ref)
+    sched = st.join(F.broadcast(src["trips"]), "trip_id").select(
+        "route_id",
+        "direction_id",
+        "trip_id",
+        "stop_id",
+        bq.gtfs_time_to_ts(F.lit(service_day), F.col("departure_time")).alias(
+            "sched_departure_ts"
+        ),
+    )
+    actual = models["fact_trips_stops"].filter(F.col("stop_id") == stop_ref).select(
+        "route_id",
+        "direction_id",
+        "stop_id",
+        "trip_uid",
+        F.coalesce("departure_ts_utc", "arrival_ts_utc").alias("actual_ts"),
+    )
+    delay_s = bq.timestamp_diff(
+        F.col("actual_ts"), F.col("sched_departure_ts"), "SECOND"
+    ).cast("double")
+    pct = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, F.lit(p)))
+    )
+    return (
+        actual.join(sched.drop("stop_id"), ["route_id", "direction_id"])
+        .groupBy("route_id", "direction_id", "stop_id")
+        .agg(
+            F.round(pct(delay_s, 0.5), 6).alias("p50_delay_s"),
+            F.round(pct(delay_s, 0.9), 6).alias("p90_delay_s"),
+        )
+    )
+
+
+# --- M9 (metrics_guide.md:277-294) -----------------------------------------
+def m9_completeness(models) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    agg = fts.groupBy("trip_uid").agg(
+        F.min("stop_sequence_int").alias("min_seq"),
+        F.max("stop_sequence_int").alias("max_seq"),
+        bq.countif(
+            F.coalesce("arrival_ts_utc", "departure_ts_utc").isNotNull()
+        ).alias("stops_seen"),
+    )
+    return agg.agg(
+        F.count("*").alias("trips_total"),
+        bq.countif(F.col("stops_seen") >= 2).alias("trips_with_start_and_end"),
+        bq.safe_divide(
+            bq.countif(F.col("stops_seen") >= 2).cast("double"), F.count("*")
+        ).alias("completeness_rate"),
+    )
+
+
+# --- M10 (metrics_guide.md:296-307) ----------------------------------------
+def m10_added_canceled_share(models) -> DataFrame:
+    ft = models["fact_trips"]
+    return (
+        ft.groupBy("route_id", "direction_id")
+        .agg(
+            (100 * bq.rate(F.col("schedule_relationship") == "ADDED")).alias("added_pct"),
+            (100 * bq.rate(F.col("schedule_relationship") == "CANCELED")).alias("canceled_pct"),
+        )
+        .orderBy("route_id", "direction_id")
+    )
+
+
+# --- M11 (metrics_guide.md:309-320) ----------------------------------------
+def m11_feed_latency(models) -> DataFrame:
+    """as_of is dlt-landed as an ISO-8601 *string* (mta_sources.yml:14); the
+    guide's TIMESTAMP_DIFF on it assumes a timestamp — cast explicitly."""
+    ft = models["fact_trips"]
+    ingest_ts = F.to_timestamp("first_ingest_ts")
+    lat = bq.timestamp_diff(ingest_ts, F.col("first_feed_ts_utc"), "SECOND")
+    return (
+        ft.groupBy(
+            "route_id",
+            "direction_id",
+            bq.timestamp_trunc(F.col("first_feed_ts_utc"), "minute").alias("ts_minute"),
+        )
+        .agg(F.avg(lat).alias("avg_latency_s"))
+        .orderBy("ts_minute")
+    )
+
+
+# --- M12 (metrics_guide.md:322-377) ----------------------------------------
+def m12_wait_assessment(models, src, stop_ref: str, anchor_date: str, tz: str = NY) -> DataFrame:
+    fts = models["fact_trips_stops"]
+    obs = fts.filter(F.col("stop_id") == stop_ref).select(
+        "route_id",
+        "direction_id",
+        bq.timestamp_trunc(F.col("event_ts_utc"), "second").alias("pass_ts"),
+    )
+    w_obs = Window.partitionBy("route_id", "direction_id").orderBy("pass_ts")
+    obs_hw = obs.select(
+        "route_id",
+        "direction_id",
+        bq.timestamp_diff(F.col("pass_ts"), F.lag("pass_ts").over(w_obs), "SECOND").alias(
+            "headway_s"
+        ),
+    )
+    sch = (
+        src["stop_times"]
+        .filter(F.col("stop_id") == stop_ref)
+        .join(F.broadcast(src["trips"]), "trip_id")
+        .select(
+            "route_id",
+            "direction_id",
+            bq.gtfs_time_to_ts(F.lit(anchor_date), F.col("departure_time")).alias("sched_ts"),
+        )
+    )
+    w_sch = Window.partitionBy("route_id", "direction_id").orderBy("sched_ts")
+    sch_hw = sch.select(
+        "route_id",
+        "direction_id",
+        bq.timestamp_diff(F.col("sched_ts"), F.lag("sched_ts").over(w_sch), "SECOND").alias(
+            "sched_headway_s"
+        ),
+    )
+    return (
+        obs_hw.join(sch_hw, ["route_id", "direction_id"])
+        .filter(F.col("headway_s").isNotNull() & F.col("sched_headway_s").isNotNull())
+        .groupBy("route_id", "direction_id")
+        .agg(
+            (100 * bq.rate(F.col("headway_s") <= 2 * F.col("sched_headway_s"))).alias(
+                "wait_assessment_pct"
+            )
+        )
+        .orderBy("route_id", "direction_id")
+    )
