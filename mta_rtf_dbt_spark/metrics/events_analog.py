@@ -1,0 +1,171 @@
+"""Driver-gated analogues of the metric shapes (M1/M2/M5/M9/M11) over the
+generic ``events`` testdata table — so the driver's DuckDB gate exercises the
+same operator compositions the MTA metrics use (the MTA metrics themselves
+run on domain fixtures and are oracle-checked in tests/test_mta_metrics.py).
+
+events.user_id plays trip_uid, event_type plays route_id, ts plays
+feed/event timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import bq
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+@q(
+    "m1_analog_actors_per_minute",
+    """
+    SELECT event_type, date_trunc('minute', ts) AS ts_minute,
+           count(DISTINCT user_id) AS actors_observed
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def m1_analog(spark, sf_dir):
+    """M1 shape (metrics_guide.md:22-36): BETWEEN window + minute trunc +
+    count distinct per group."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00"))
+        .groupBy(
+            "event_type", bq.timestamp_trunc(F.col("ts"), "minute").alias("ts_minute")
+        )
+        .agg(F.countDistinct("user_id").alias("actors_observed"))
+    )
+
+
+@q(
+    "m2_analog_5min_buckets",
+    """
+    SELECT event_type,
+           CAST(to_timestamp(300 * (CAST(floor(epoch_us(ts)/1000000.0) AS BIGINT) // 300)) AS TIMESTAMP) AS ts_5min,
+           count(DISTINCT user_id) AS actors_observed
+    FROM events GROUP BY 1, 2
+    """,
+)
+def m2_analog(spark, sf_dir):
+    """M2 shape (metrics_guide.md:38-52): aligned 5-min buckets via
+    UNIX_SECONDS + DIV arithmetic (F10)."""
+    e = load(spark, sf_dir, "events")
+    bucket = bq.timestamp_seconds(
+        F.lit(300) * bq._trunc_div(bq.unix_seconds(F.col("ts")), 300)
+    )
+    return e.groupBy("event_type", bucket.alias("ts_5min")).agg(
+        F.countDistinct("user_id").alias("actors_observed")
+    )
+
+
+@q(
+    "m5_analog_headways",
+    """
+    WITH seen AS (
+      SELECT date_trunc('second', ts) AS pass_ts, event_type, user_id
+      FROM events
+      WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-10'
+    ),
+    dedup AS (SELECT * FROM seen
+              QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY pass_ts) = 1),
+    ordered AS (SELECT *, row_number() OVER (ORDER BY pass_ts, user_id) AS rn,
+                       lag(pass_ts) OVER (ORDER BY pass_ts, user_id) AS prev_ts
+                FROM dedup)
+    SELECT user_id, pass_ts,
+           CASE WHEN prev_ts IS NULL THEN NULL
+                ELSE CAST((epoch_us(pass_ts) - epoch_us(prev_ts)
+                      - ((epoch_us(pass_ts) - epoch_us(prev_ts)) % 1000000)) // 1000000 AS BIGINT)
+           END AS headway_s
+    FROM ordered WHERE rn > 1
+    """,
+)
+def m5_analog(spark, sf_dir):
+    """M5 shape (metrics_guide.md:168-201): screenline filter -> QUALIFY-style
+    dedup (W2/D8) -> global sequence (W1) -> LAG headway (W3) -> rn>1 (P7)."""
+    e = load(spark, sf_dir, "events")
+    seen = e.filter(
+        (F.col("event_type") == "click") & (F.to_date("ts") == F.lit("2024-01-10").cast("date"))
+    ).select(
+        bq.timestamp_trunc(F.col("ts"), "second").alias("pass_ts"), "event_type", "user_id"
+    )
+    w_dedup = Window.partitionBy("user_id").orderBy("pass_ts")
+    dedup = seen.withColumn("r", F.row_number().over(w_dedup)).filter("r = 1").drop("r")
+    w_global = Window.orderBy("pass_ts", "user_id")
+    ordered = dedup.select(
+        "user_id",
+        "pass_ts",
+        F.row_number().over(w_global).alias("rn"),
+        bq.timestamp_diff(
+            F.col("pass_ts"), F.lag("pass_ts").over(w_global), "SECOND"
+        ).alias("headway_s"),
+    )
+    return ordered.filter(F.col("rn") > 1).drop("rn")
+
+
+@q(
+    "m9_analog_completeness",
+    """
+    WITH agg AS (
+      SELECT user_id, count_if(value > 50) AS high_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS users_total,
+           count_if(high_seen >= 2) AS users_with_2plus,
+           CAST(count_if(high_seen >= 2) AS DOUBLE) / NULLIF(COUNT(*), 0) AS completeness_rate
+    FROM agg
+    """,
+)
+def m9_analog(spark, sf_dir):
+    """M9 shape (metrics_guide.md:277-294): two-level agg with COUNTIF +
+    SAFE_DIVIDE."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(bq.countif(F.col("value") > 50).alias("high_seen"))
+    return agg.agg(
+        F.count("*").alias("users_total"),
+        bq.countif(F.col("high_seen") >= 2).alias("users_with_2plus"),
+        bq.safe_divide(
+            bq.countif(F.col("high_seen") >= 2).cast("double"), F.count("*")
+        ).alias("completeness_rate"),
+    )
+
+
+@q(
+    "m11_analog_latency",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS ts_hour,
+           AVG(CAST((epoch_us(ts) - epoch_us(date_trunc('minute', ts))
+                - ((epoch_us(ts) - epoch_us(date_trunc('minute', ts))) % 1000000)) // 1000000 AS BIGINT)) AS avg_subminute_s
+    FROM events GROUP BY 1, 2
+    """,
+)
+def m11_analog(spark, sf_dir):
+    """M11 shape (metrics_guide.md:309-320): AVG of a truncated second diff
+    per truncated bucket."""
+    e = load(spark, sf_dir, "events")
+    lat = bq.timestamp_diff(F.col("ts"), bq.timestamp_trunc(F.col("ts"), "minute"), "SECOND")
+    return e.groupBy(
+        "event_type", bq.timestamp_trunc(F.col("ts"), "hour").alias("ts_hour")
+    ).agg(F.avg(lat).alias("avg_subminute_s"))

@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: opaque ``binary`` payload columns + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(``decode_stub`` raises NotImplementedError unless a real decoder is
+injected) — but everything Spark-side is real and tested: binary column
+construction, schema, partition-preserving mapInPandas feature extraction,
+batch shapes, and deterministic fake features.
+
+``multimodal_features`` is oracle-checked end-to-end: the Python batch path
+computes byte length + sha256 + derived thumbnail dims, and DuckDB reproduces
+them from the source text (the synthetic payload is utf-8 of ``text``).
+
+Scale posture: mapInPandas streams Arrow batches (no per-row pickling);
+payloads never hit the driver; a real deployment swaps ``fake_decode`` for a
+codec call with the same batch signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha256", StringType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata (here synthesized
+    from text; in production this is the raw image/audio bytes column)."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_stub(payload: bytes) -> bytes:
+    """Real decode (PIL / libsndfile / ffmpeg) is unavailable in this
+    container — stub per the build contract."""
+    raise NotImplementedError("media decode requires a codec library; inject one here")
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode+resize: derive thumbnail dims from
+    the byte length (replicable in ANSI SQL for the oracle)."""
+    n = len(payload)
+    return (n % 64) + 16, (n % 48) + 16
+
+
+def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction. The batch function receives pandas
+    DataFrames (one per Arrow batch), computes per-payload features, and
+    never materializes more than a batch per worker thread."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [
+                decode_stub(p) if use_real_decode else fake_decode_features(p)
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_sha256": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ),
+                    "thumb_w": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "thumb_h": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "decode_status": "stub-deterministic" if not use_real_decode else "real",
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST((octet_length(CAST(text AS BLOB)) % 64) + 16 AS INTEGER) AS thumb_w,
+           CAST((octet_length(CAST(text AS BLOB)) % 48) + 16 AS INTEGER) AS thumb_h,
+           'stub-deterministic' AS decode_status
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """End-to-end binary-column pipeline: synthesize payloads -> mapInPandas
+    feature extraction -> typed feature rows. Oracle reproduces the features
+    from the source text."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(with_media_column(docs))
+
+
+@q("multimodal_frame_sample")  # rows-only: demonstrates batched sampling plumbing
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: split each payload into fixed-size 'frames'
+    and emit every 4th — the video-keyframe pattern with deterministic fake
+    frames (Column-only: no UDF needed for byte slicing)."""
+    media = with_media_column(load(spark, sf_dir, "documents"))
+    frame_size = 32
+    n_frames = F.ceil(F.col("n_bytes") / frame_size).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    sampled = F.filter(idx, lambda i: i % 4 == 0)
+    return media.select(
+        "doc_id",
+        F.explode(sampled).alias("frame_no"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") * frame_size).alias("byte_offset"),
+    )

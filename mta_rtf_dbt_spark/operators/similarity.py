@@ -1,0 +1,241 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query set,
+  one scan of the corpus, per-query top-k via window. Oracle-checked.
+- **Random-hyperplane LSH ANN** — the scale path: 16 deterministic
+  hyperplanes -> 16 sign bits -> 4 bands; candidates share >= 1 band; exact
+  cosine re-rank of candidates only. The planes are module-level constants so
+  the DuckDB oracle reproduces the identical computation — the ANN query is
+  fully oracle-checked, not rows-only.
+- **Per-label centroids** — posexplode + avg, the embedding-aggregation
+  pattern (oracle-checked).
+
+All vector math is double-precision Column expressions
+(:mod:`mta_rtf_dbt_spark.functions.vectors`); similarities are rounded to 6
+decimals *before* ranking, with vec_id tiebreakers, so ordering is identical
+across engines (D5 discipline).
+
+Scale posture: brute force is O(|corpus| x k_queries) with zero shuffles
+(broadcast queries, map-side top-k via AQE-coalesced window on query_id);
+LSH is one explode (4 rows/vector) + one equi-join on (band, signature).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import vectors as V
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+DIM = 64          # testdata embedding dimensionality (TESTDATA.md)
+N_PLANES = 16
+N_BANDS = 4
+_BITS_PER_BAND = N_PLANES // N_BANDS
+
+# Deterministic hyperplanes, shared verbatim with the SQL oracle.
+_rng = random.Random(7)
+PLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _plane_col(plane: list[float]) -> F.Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast queries against one corpus scan."""
+    qd = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    cd = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(V.cosine(F.col("cv"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cd.crossJoin(qd)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").alias("rank"))
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+_KNN_SQL = f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5),
+cs AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({_COS_SQL}, 6) AS sim
+  FROM cs, qs WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q("knn_brute_force_cosine", _KNN_SQL)
+def knn_brute_force_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN.
+# ---------------------------------------------------------------------------
+def lsh_signatures(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, band, band_signature): sign bit per hyperplane, packed per band."""
+    v = F.col(vec_col)
+    bits = [V.dot(v, _plane_col(p)) >= 0 for p in PLANES]
+    band_vals = []
+    for band in range(N_BANDS):
+        val = F.lit(0)
+        for j in range(_BITS_PER_BAND):
+            val = val + F.when(bits[band * _BITS_PER_BAND + j], F.lit(1 << j)).otherwise(F.lit(0))
+        band_vals.append(val)
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*band_vals)).alias("band", "band_sig"),
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidates share >= 1 band signature with the query; exact cosine
+    re-rank of the candidate set only."""
+    qs = lsh_signatures(queries, id_col, vec_col).withColumnRenamed("vid", "query_id")
+    cs = lsh_signatures(corpus, id_col, vec_col).withColumnRenamed("vid", "neighbor_id")
+    cands = (
+        F.broadcast(qs)
+        .join(cs, ["band", "band_sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(V.cosine(F.col("cv"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").alias("rank"))
+    )
+
+
+def _planes_sql() -> str:
+    rows = ",\n    ".join(
+        f"({i}, CAST([{', '.join(f'{x!r}' for x in p)}] AS DOUBLE[]))" for i, p in enumerate(PLANES)
+    )
+    return f"(VALUES\n    {rows}) AS planes(plane_id, pv)"
+
+
+def _ann_sql() -> str:
+    band_sig = (
+        "SUM(CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << (plane_id % "
+        f"{_BITS_PER_BAND}) ELSE 0 END)"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, plane_id // {_BITS_PER_BAND} AS band, {band_sig} AS band_sig
+  FROM vecs, {_planes_sql()}
+  GROUP BY vec_id, plane_id // {_BITS_PER_BAND}
+),
+qsig AS (SELECT vec_id AS query_id, band, band_sig FROM sigs WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qsig q JOIN sigs c ON q.band = c.band AND q.band_sig = c.band_sig
+  WHERE c.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_COS_SQL}, 6) AS sim
+  FROM cands
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings) q
+    ON q.vec_id = query_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c
+    ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q("ann_lsh_cosine", _ann_sql())
+def ann_lsh_cosine(spark, sf_dir):
+    """LSH ANN, fully oracle-checked: the deterministic hyperplanes are
+    embedded in both the Spark plan and the DuckDB SQL, so candidate sets and
+    rankings must match exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids.
+# ---------------------------------------------------------------------------
+@q(
+    "embedding_label_centroids",
+    f"""
+    WITH e AS (
+      SELECT label,
+             unnest(list_transform(generate_series(1, {DIM}),
+                    i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.pos AS INTEGER) AS pos,
+           ROUND(AVG(u.val), 6) AS centroid_val, COUNT(*) AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Centroid per (label, dimension) via posexplode — the distributed
+    pattern for embedding aggregation (no driver-side vectors)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count("*").alias("n"),
+        )
+    )

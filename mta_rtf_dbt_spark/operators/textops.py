@@ -1,0 +1,158 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, heuristic language ID, and document fingerprinting. All
+Column-only (codegen); each op is oracle-checked except the rolling-hash
+fingerprint (xxhash64-based, engine-specific family)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import text as T
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           ROUND(CAST(length(text) AS DOUBLE) / NULLIF(len({_TOKS_SQL}), 0), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counts + chars-per-token — the basic size/cost
+    signals for a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.try_divide(F.length("text").cast("double"), n_tok), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter({_TOKS_SQL},
+                 x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','are'))) AS DOUBLE)
+                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS stopword_ratio,
+           len(list_distinct({_TOKS_SQL})) AS n_unique_tokens,
+           ROUND(CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS lexical_diversity
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: punctuation ratio, stopword ratio, lexical
+    diversity — the standard cheap filters before expensive dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(T.normalize(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.try_divide(F.size(F.array_distinct(toks)).cast("double"), F.size(toks)), 6
+        ).alias("lexical_diversity"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang, markers in T.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) AS {lang}_hits"
+        )
+    # deterministic argmax: order langs alphabetically, pick first max
+    langs = sorted(T.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {lg}_hits = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang AS labeled_lang, {', '.join(hits)} FROM documents)
+    SELECT doc_id, labeled_lang, {', '.join(f'{lg}_hits' for lg in langs)},
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@q("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    """Heuristic n-gram/stopword language ID: marker-token hit counts per
+    language, deterministic argmax (alphabetical tiebreak)."""
+    d = load(spark, sf_dir, "documents")
+    langs = sorted(T.LANG_MARKERS)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[T.lang_score(F.col("text"), lg).alias(f"{lg}_hits") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"{lg}_hits") for lg in langs])
+    pred = F.when(F.col(f"{langs[0]}_hits") == best, langs[0])
+    for lg in langs[1:]:
+        pred = pred.when(F.col(f"{lg}_hits") == best, lg)
+    return scored.select("*", pred.alias("predicted_lang"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint,
+           substring(sha256({_NORM_SQL}), 1, 16) AS short_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint: sha256 over normalized text (+ 64-bit prefix)."""
+    d = load(spark, sf_dir, "documents")
+    fp = T.fingerprint_sha(F.col("text"))
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("short_fp")
+    )
+
+
+@q("text_fingerprint_rolling")  # rows-only: xxhash64 family
+def text_fingerprint_rolling(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint (min xxhash64 over 8-char
+    windows) — shift-tolerant near-dup signal; tests assert exact-dup pairs
+    share it."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_rolling(F.col("text")).alias("rolling_fp"))

@@ -1,0 +1,102 @@
+"""Quality assertions for the approximate dedup operators (the parts the
+driver's rows-only check can't see): MinHash-LSH recall/precision vs the
+exact Jaccard baseline, SimHash recovery of known near-dups, multimodal
+decode-stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    return load(spark, SF, "documents")
+
+
+def test_minhash_lsh_vs_exact(spark, docs):
+    from mta_rtf_dbt_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dedup,
+        shingles,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingles(docs, 3), 0.2).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_dedup(docs, 0.2).collect()
+    }
+    # precision 1.0: every LSH pair is exact-verified with identical jaccard
+    for pair, jac in lsh.items():
+        assert pair in exact and abs(exact[pair] - jac) < 1e-9
+    # recall: 16 bands x 4 rows -> P(detect | j=0.2) ~ 1-(1-0.2^4)^16 is low,
+    # but planted near-dups are j>=0.8 where P ~ 1. Require full recall there.
+    high = {p for p, j in exact.items() if j >= 0.5}
+    missed = high - set(lsh)
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_recovers_near_dups(spark, docs):
+    from mta_rtf_dbt_spark.operators.dedup import (
+        jaccard_pairs,
+        shingles,
+        simhash_bands,
+        simhash_pairs,
+    )
+
+    # SimHash Hamming is its own similarity measure: a 0.9-Jaccard pair can
+    # legitimately sit at Hamming ~9 (different token frequencies). The
+    # defensible property: near-identical docs (j >= 0.95) stay within the
+    # max_hamming=6 radius, and 8-band banding guarantees finding them.
+    exact_high = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingles(docs, 3), 0.95).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in simhash_pairs(simhash_bands(docs), 6).collect()}
+    missed = exact_high - sim
+    assert not missed, f"simhash missed near-identical pairs: {missed}"
+
+
+def test_exact_dup_share_rolling_fingerprint(spark, docs):
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.functions import text as T
+
+    fp = docs.select(
+        "doc_id",
+        T.fingerprint_sha(F.col("text")).alias("sha"),
+        T.fingerprint_rolling(F.col("text")).alias("roll"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    same_sha_diff_roll = (
+        a.join(b, (F.col("a.sha") == F.col("b.sha")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.col("a.roll") != F.col("b.roll"))
+        .count()
+    )
+    assert same_sha_diff_roll == 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from mta_rtf_dbt_spark.operators.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG")
+
+
+def test_multimodal_batch_shapes(spark, docs):
+    """mapInPandas must preserve row count and produce the declared schema."""
+    from mta_rtf_dbt_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        extract_features,
+        with_media_column,
+    )
+
+    media = with_media_column(docs)
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    assert feats.count() == docs.count()
