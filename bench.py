@@ -1,0 +1,86 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headliners cover each operator family at its most shuffle-heavy: the TPC-H-ish
+pricing summary, fact-fact join+agg, the window-dedup + lag pipeline, the
+percentile agg, plus the scale-path LLM ops (MinHash-LSH dedup, LSH ANN).
+Each query is timed to a terminal action (count) after a warm-up of the
+shared inputs' file listing; results are forced, not cached between runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+
+    from mta_rtf_dbt_spark.session import pin_session
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    pin_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    headline = [
+        "q1_pricing_summary",      # wide agg scan
+        "j1_inner_join_agg",       # fact-fact shuffle join
+        "j2_left_broadcast_dims",  # broadcast star join
+        "j6_banded_range_join",    # equi + range residual
+        "a5_argmin_argmax",        # min_by/max_by rollup
+        "a9_percentiles",          # percentile agg
+        "w2_dedup_latest_per_user",  # window dedup (QUALIFY analogue)
+        "w3_lag_headway",          # partitioned lag
+        "m5_analog_headways",      # full metric pipeline
+        "dedup_exact",             # content-hash groupBy
+        "dedup_minhash_lsh",       # signature + band join + verify
+        "ann_lsh_cosine",          # LSH ANN top-k
+        "text_quality",            # text featurization
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,19 +139,24 @@ def minhash_signatures(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """num_hashes seeded min-hashes over word shingles, as one array column.
-    Hash family: xxhash64(seed_i || shingle) — all inside codegen."""
-    grams = F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n))
+    Hash family: xxhash64(seed_i, shingle).
 
-    def seeded(i: int):
-        # single-arg lambda on purpose: a 2-arg lambda would receive the
-        # array index as its second argument and clobber the seed
-        return lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
-
-    sig = F.array(*[F.array_min(F.transform(grams, seeded(i))) for i in range(num_hashes)])
-    toks = T.tokens(T.normalize(F.col(text_col)))
-    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).filter(
-        F.size(toks) >= shingle_n
-    ).select("doc_id", "text", sig.alias("minhash"))
+    Shape: explode shingles once, then ONE partial+final hash aggregate with
+    num_hashes `min` columns — linear in total shingle count, map-side
+    combined, flat codegen. (The tempting alternative — num_hashes
+    `array_min(transform(shingle_array, ...))` expressions in a single
+    projection — duplicates the tokenize/slice expression tree per hash and
+    is orders of magnitude slower.)"""
+    sh = shingles(docs, shingle_n, text_col, id_col)
+    agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
