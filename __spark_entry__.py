@@ -24,6 +24,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.similarity",
         "mta_rtf_dbt_spark.operators.textops",
         "mta_rtf_dbt_spark.operators.multimodal",
+        "mta_rtf_dbt_spark.streaming.jobs",
     ]
     out = []
     for m in mods:

@@ -48,6 +48,53 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``mta_rtf_dbt_spark`` importable on executor Python workers.
+
+    Pandas-UDF / applyInPandasWithState functions defined in this package are
+    cloudpickled *by reference* — workers must import the module. The driver
+    harness runs from an arbitrary cwd, so zip the package and ``addPyFile``
+    it (the same mechanism as ``spark-submit --py-files`` on a real cluster).
+    Once per session.
+    """
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "mta_rtf_dbt_spark_pyfiles.zip"
+    )
+    src_mtime = max(
+        (
+            os.path.getmtime(os.path.join(root, f))
+            for root, _dirs, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect without addPyFile — imports must come from env
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
 def pin_session(spark: SparkSession) -> SparkSession:
     """Apply runtime semantic pins to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -55,6 +102,7 @@ def pin_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable in this deployment — keep going
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,176 @@
+"""Driver-contract entries for the streaming head: each runs a Structured
+Streaming pipeline to completion (``Trigger.AvailableNow`` over the static
+testdata parquet) and returns the drained result as a batch DataFrame, so the
+DuckDB oracle can check it like any batch query.
+
+Determinism note: the source is a single parquet file → exactly one data
+micro-batch → nothing is late relative to the watermark and update-mode
+emissions happen exactly once per key. That makes stream results equal batch
+results (the parity the reference's batch-over-snapshots design implies,
+SURVEY.md §2.9) and therefore oracle-checkable. On a real multi-file/multi-
+batch source the same pipelines run with the same code, but late data beyond
+the watermark would be dropped — the documented divergence from the
+reference's keep-everything batch semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.streaming.head import (
+    first_observation,
+    run_to_memory,
+    session_windows,
+    stream_source,
+    windowed_actor_counts,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+SESSION_GAP_MIN = 30
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+@q(
+    "stream_m1_actors_per_minute",
+    """
+    SELECT date_trunc('minute', ts) AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+           event_type,
+           count(DISTINCT user_id) AS actors_observed
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_m1(spark, sf_dir):
+    """M1 as a stream: watermark + per-window actor dedup + tumbling count
+    (complete mode re-emits the full result on the one-shot drain)."""
+    src = stream_source(spark, sf_dir, "events")
+    return run_to_memory(windowed_actor_counts(src, "1 minute"), "complete")
+
+
+@q(
+    "stream_first_observation_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_first_obs(spark, sf_dir):
+    """W2's snapshot-dedup as streaming dropDuplicatesWithinWatermark. Only
+    the keys are emitted to the driver gate (which payload row arrives first
+    is arrival-order-dependent; tests pin payload behavior on ordered
+    fixtures)."""
+    src = stream_source(spark, sf_dir, "events")
+    deduped = first_observation(src, ["user_id", "event_type"], watermark="100 days")
+    return run_to_memory(deduped.select("user_id", "event_type"), "append")
+
+
+@q(
+    "stream_sessionize",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap per user) as a streaming session
+    window; oracle is the classic gaps-and-islands rewrite. Values are summed
+    as integer millis so the order-insensitive hash is float-order-proof."""
+    src = stream_source(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("long")
+    )
+    sess = session_windows(
+        src, f"{SESSION_GAP_MIN} minutes", watermark="100 days"
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("value_sum").cast("long").alias("value_milli"),
+        "first_ts",
+        "last_ts",
+    )
+    return run_to_memory(sess, "complete")
+
+
+@q(
+    "sessionize_batch",
+    ORACLE["stream_sessionize"],
+)
+def sessionize_batch(spark, sf_dir):
+    """The same session_window plan over the batch reader — one code path for
+    both executions (F.session_window works in plain groupBy)."""
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    src = load(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("long")
+    )
+    return session_windows(src, f"{SESSION_GAP_MIN} minutes").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("value_sum").cast("long").alias("value_milli"),
+        "first_ts",
+        "last_ts",
+    )
+
+
+@q(
+    "stream_stateful_running_totals",
+    """
+    SELECT user_id, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli,
+           max(ts) AS last_ts
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    totals. One micro-batch → one emission per key → equals the batch
+    aggregate."""
+    from mta_rtf_dbt_spark.streaming.stateful import running_totals
+
+    src = stream_source(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("double")
+    )
+    out = running_totals(src).select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("long").alias("value_milli"),
+        "last_ts",
+    )
+    return run_to_memory(out, "update")
