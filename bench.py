@@ -59,6 +59,12 @@ def main() -> None:
         "text_quality",            # text featurization
     ]
 
+    # untimed warmup: JVM/codegen/file-listing init shouldn't be attributed
+    # to whichever query happens to run first
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    load(spark, sf_dir, "lineitem").count()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs.get(name)
