@@ -25,6 +25,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.textops",
         "mta_rtf_dbt_spark.operators.multimodal",
         "mta_rtf_dbt_spark.streaming.jobs",
+        "mta_rtf_dbt_spark.sources.ingest",
     ]
     out = []
     for m in mods:
