@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -78,6 +78,7 @@ def dedup_exact(spark, sf_dir):
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc. Docs with < n tokens are
     dropped (mirrors the oracle's len(arr) >= n guard)."""
+    docs = spread(docs)  # shingling is CPU-bound; don't let a one-row-group scan serialize it
     toks = T.tokens(T.normalize(F.col(text_col)))
     return docs.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("doc_id"),
@@ -197,10 +198,17 @@ def minhash_lsh_dedup(
     docs: DataFrame, threshold: float = 0.2, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
     """Candidates via LSH, then exact-Jaccard verification of candidates only
-    (the standard verify step — precision 1.0, recall set by the band curve)."""
-    sigs = minhash_signatures(docs, num_hashes)
+    (the standard verify step — precision 1.0, recall set by the band curve).
+
+    The signature and shingle relations each feed both sides of a self-join;
+    persisting them (eagerly — branches of one job don't reliably share a
+    cold cache) computes the shingle explode + hash agg once instead of four
+    times. At cluster scale this staging is a parquet/checkpoint write."""
+    sigs = minhash_signatures(docs, num_hashes).persist()
+    sh = shingles(docs, 3).persist()
+    sigs.count()
+    sh.count()
     cands = lsh_candidate_pairs(sigs, bands)
-    sh = shingles(docs, 3)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -238,6 +246,7 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """64-bit SimHash packed as 8x8-bit band values (band-join-ready, no
     sign-bit games). Token weights = term frequency; bit contributions summed
     per document via explode + 64 conditional sums (all codegen)."""
+    docs = spread(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("tok"),

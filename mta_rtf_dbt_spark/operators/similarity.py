@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import vectors as V
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -71,6 +71,7 @@ def cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: broadcast queries against one corpus scan."""
+    corpus = spread(corpus)  # vector math is CPU-bound; spread a skinny scan
     qd = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )

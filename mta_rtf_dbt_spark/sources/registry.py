@@ -74,6 +74,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan produced fewer partitions than
+    cores. Parquet can't split below row-group granularity, so a small/
+    single-row-group file pins every downstream narrow transform to one task
+    — fatal for CPU-heavy per-row operators (shingling, hashing, vector
+    math). At 100 TB inputs arrive with thousands of row groups and this is a
+    no-op; the repartition only fires when parallelism is actually missing."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_all(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
