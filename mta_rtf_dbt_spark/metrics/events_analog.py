@@ -126,6 +126,157 @@ def m5_analog(spark, sf_dir):
 
 
 @q(
+    "m4_analog_terminal_otp",
+    """
+    WITH actual AS (
+      SELECT user_id, max(ts) AS actual_end
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    sched AS (
+      SELECT user_id, max(ts) AS sched_end
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT CAST(actual_end AS DATE) AS service_day,
+           COUNT(*) AS n_users,
+           ROUND(AVG(CASE WHEN actual_end <= sched_end + INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END), 6) AS otp_rate
+    FROM actual JOIN sched USING (user_id)
+    GROUP BY 1
+    """,
+)
+def m4_analog(spark, sf_dir):
+    """M4 shape (metrics_guide.md:140-166): terminal event per key via argmax
+    (A5), USING-join against the schedule (J5), threshold rate (A8)."""
+    e = load(spark, sf_dir, "events")
+    actual = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("actual_end"))
+    )
+    sched = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("sched_end"))
+    )
+    on_time = F.when(
+        F.col("actual_end") <= F.col("sched_end") + F.expr("INTERVAL 10 MINUTE"), 1
+    ).otherwise(0)
+    return (
+        actual.join(sched, "user_id")
+        .groupBy(F.col("actual_end").cast("date").alias("service_day"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg(on_time), 6).alias("otp_rate"),
+        )
+    )
+
+
+@q(
+    "m7_analog_run_time",
+    """
+    WITH ta AS (
+      SELECT user_id, min(ts) AS ts_a
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    tb AS (
+      SELECT user_id, min(ts) AS ts_b
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, ts_a, ts_b,
+           CAST((epoch_us(ts_b) - epoch_us(ts_a)
+                 - ((epoch_us(ts_b) - epoch_us(ts_a)) % 1000000)) // 1000000 AS BIGINT)
+             AS run_s
+    FROM ta JOIN tb USING (user_id)
+    WHERE ts_b >= ts_a
+    """,
+)
+def m7_analog(spark, sf_dir):
+    """M7 shape (metrics_guide.md:216-238): first event per key at A and B
+    (A5 argmin), equi join on the key with a range residual (J6), truncated
+    second diff (F8/D9)."""
+    e = load(spark, sf_dir, "events")
+    ta = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_a"))
+    )
+    tb = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_b"))
+    )
+    return (
+        ta.join(tb, "user_id")
+        .filter(F.col("ts_b") >= F.col("ts_a"))
+        .select(
+            "user_id",
+            "ts_a",
+            "ts_b",
+            bq.timestamp_diff(F.col("ts_b"), F.col("ts_a"), "SECOND").alias("run_s"),
+        )
+    )
+
+
+@q(
+    "m12_analog_wait_assessment",
+    """
+    WITH obs AS (
+      SELECT user_id, ts,
+             row_number() OVER w AS rn,
+             CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   - ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) % 1000000)) // 1000000 AS BIGINT)
+               AS obs_headway_s
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sch AS (
+      SELECT user_id, row_number() OVER w AS rn,
+             CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   - ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) % 1000000)) // 1000000 AS BIGINT)
+               AS sch_headway_s
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT obs.user_id,
+           COUNT(*) AS n_intervals,
+           ROUND(AVG(CASE WHEN obs_headway_s <= sch_headway_s + 120 THEN 1 ELSE 0 END), 6)
+             AS wait_assessment
+    FROM obs JOIN sch ON obs.user_id = sch.user_id AND obs.rn = sch.rn
+    WHERE obs_headway_s IS NOT NULL AND sch_headway_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def m12_analog(spark, sf_dir):
+    """M12 shape (metrics_guide.md:322-377): two independent LAG streams
+    (W3 x2), positionally joined (J5), threshold rate (A8)."""
+    e = load(spark, sf_dir, "events")
+
+    def headways(event_type: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.row_number().over(w).alias("rn"),
+                bq.timestamp_diff(F.col("ts"), F.lag("ts").over(w), "SECOND").alias(out),
+            )
+        )
+
+    obs = headways("click", "obs_headway_s")
+    sch = headways("view", "sch_headway_s")
+    ok = F.when(F.col("obs_headway_s") <= F.col("sch_headway_s") + 120, 1).otherwise(0)
+    return (
+        obs.join(sch, ["user_id", "rn"])
+        .filter(F.col("obs_headway_s").isNotNull() & F.col("sch_headway_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(F.avg(ok), 6).alias("wait_assessment"),
+        )
+    )
+
+
+@q(
     "m9_analog_completeness",
     """
     WITH agg AS (
