@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the optimizer behaviors SURVEY.md §3-4
+claims (pushdown through the model view chain, broadcast dim joins, column
+pruning) must be visible in the executed plans, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_mta_models import mta_dir, mta_models  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_through_model_chain(mta_models):  # noqa: F811
+    """EP2: fact_delays inlines fact_trips_stops inlines 4 sources; the
+    feed='main' filter must reach the trip_updates parquet scan."""
+    plan = _plan(mta_models["fact_delays"])
+    assert "PushedFilters" in plan
+    assert "EqualTo(feed,main)" in plan, plan[:4000]
+
+
+def test_model_chain_prunes_columns(mta_models):  # noqa: F811
+    """A narrow projection over fact_trips_stops (54 cols) must narrow the
+    trip_updates scan's ReadSchema, not read everything."""
+    narrow = mta_models["fact_trips_stops"].select("trip_uid", "stop_id")
+    plan = _plan(narrow)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    # the stop_time_update scan feeds stop_id + the uid inputs; it must not
+    # read the arrival/departure delay columns the projection dropped
+    assert not any("arrival__delay" in ln for ln in scans), scans
+
+
+def test_dim_joins_broadcast(mta_models):  # noqa: F811
+    """J2/J8: stops/trips enrichment joins must be broadcast, not shuffled."""
+    plan = _plan(mta_models["fact_trips_stops"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:4000]
+
+
+def test_q1_scan_is_pruned_and_filtered(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("l_comment" not in ln for ln in scans), scans
+
+
+def test_whole_stage_codegen_covers_metrics(spark):
+    """The hot path (filter+window+lag pipeline) must stay inside
+    whole-stage codegen — a Python/interpreted fallback here is a perf bug."""
+    import __spark_entry__ as e
+
+    df = e.queries()["m5_analog_headways"](spark, SF)
+    # AQE only finalizes this plan instance after ITS OWN execution
+    # (count() would execute a different QueryExecution)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' node prefixes mark whole-stage-codegen spans in plan toString()
+    assert "*(" in plan, plan[:2000]
