@@ -149,6 +149,37 @@ def sessionize_batch(spark, sf_dir):
 
 
 @q(
+    "stream_static_enrich",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the streaming side enriches against a broadcast
+    batch dimension per micro-batch (the GTFS-static enrichment pattern in
+    streaming form). Distinct aggregates aren't allowed in streaming — the
+    exact-distinct recipe is the dedup-then-count in windowed_actor_counts."""
+    from pyspark.sql.functions import broadcast
+
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    src = stream_source(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = src.join(broadcast(cust), "user_id")
+    agg = enriched.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    )
+    return run_to_memory(agg, "complete")
+
+
+@q(
     "stream_stateful_running_totals",
     """
     SELECT user_id, event_type, count(*) AS n_events,

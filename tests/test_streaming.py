@@ -104,6 +104,43 @@ def test_windowed_actor_counts_stream_equals_batch(spark, split_events_dir):
     assert g == e
 
 
+def test_incremental_checkpointed_ingest(spark, split_events_dir, tmp_path):
+    """The production ingestion loop: repeated availableNow drains against a
+    checkpoint must process each input file exactly once — new files land as
+    new parquet, already-seen files are skipped, nothing duplicates."""
+    import shutil
+
+    from mta_rtf_dbt_spark.streaming.head import run_incremental
+
+    src_dir = str(tmp_path / "arriving")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    files = sorted(os.listdir(split_events_dir))
+    shutil.copy(os.path.join(split_events_dir, files[0]), src_dir)
+
+    raw = spark.read.parquet(split_events_dir).schema
+    total_first = spark.read.parquet(os.path.join(src_dir, files[0])).count()
+
+    def drain():
+        sdf = spark.readStream.schema(raw).parquet(src_dir)
+        run_incremental(sdf, out, ckpt)
+
+    drain()
+    assert spark.read.parquet(out).count() == total_first
+    # second drain with NO new input: nothing duplicates
+    drain()
+    assert spark.read.parquet(out).count() == total_first
+    # two more files arrive; only they are processed
+    for f in files[1:]:
+        shutil.copy(os.path.join(split_events_dir, f), src_dir)
+    drain()
+    expected = spark.read.parquet(split_events_dir).count()
+    got = spark.read.parquet(out)
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
+
+
 def test_session_windows_batch_stream_parity(spark, split_events_dir):
     from mta_rtf_dbt_spark.streaming.head import run_to_memory, session_windows
 
