@@ -711,6 +711,36 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.1 S7 — UNNEST([<array literal>]) as an inline table (metrics_guide.md:161
+# uses it as an empty placeholder; here the non-degenerate join form).
+# ---------------------------------------------------------------------------
+@q(
+    "s7_inline_unnest",
+    """
+    SELECT w.rname AS r_name, COUNT(n.n_nationkey) AS n_nations
+    FROM (SELECT unnest(['EUROPE', 'ASIA', 'NOWHERE']) AS rname) w
+    LEFT JOIN region r ON r.r_name = w.rname
+    LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def s7_inline_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: array literal exploded into an inline relation, then used like any
+    table (left-joined so unmatched literals survive, as UNNEST does)."""
+    w = spark.range(1).select(
+        F.explode(F.array(F.lit("EUROPE"), F.lit("ASIA"), F.lit("NOWHERE"))).alias("rname")
+    )
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        w.join(r, r["r_name"] == w["rname"], "left")
+        .join(n, n["n_regionkey"] == r["r_regionkey"], "left")
+        .groupBy(F.col("rname").alias("r_name"))
+        .agg(F.count(n["n_nationkey"]).alias("n_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.8 scalar string/hash pack — F1-F4, F15, D2 regexp-null.
 # ---------------------------------------------------------------------------
 @q(
