@@ -26,6 +26,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.multimodal",
         "mta_rtf_dbt_spark.streaming.jobs",
         "mta_rtf_dbt_spark.sources.ingest",
+        "mta_rtf_dbt_spark.operators.quality",
     ]
     out = []
     for m in mods:

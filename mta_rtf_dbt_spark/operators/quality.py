@@ -1,0 +1,121 @@
+"""Data-quality validators — the dbt schema tests the reference *should* have
+had (SURVEY.md §5.3: its mta_sources.yml declares 178 lines of schema with
+zero `tests:` keys), as reusable DataFrame operators.
+
+Each validator returns a DataFrame of VIOLATIONS (empty = pass), so checks
+compose into pipelines and scale like any other plan: uniqueness is one
+hash aggregate, not-null a filter, referential integrity a left-anti join —
+all map to single-shuffle-or-less shapes at 100 TB.
+
+``dq_report`` runs a suite and returns one row per check with violation
+counts — the dbt-test-summary analogue, driver-gated with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def expect_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows whose key appears more than once (dbt `unique`)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def expect_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows with a NULL in any required column (dbt `not_null`)."""
+    cond = None
+    for c in cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    return df.filter(cond)
+
+
+def expect_fk(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+    """Child rows whose key has no parent (dbt `relationships`) — left-anti
+    join, the cheapest distributed FK check."""
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return child.join(p, child[child_key] == F.col("__pk"), "left_anti")
+
+
+def expect_accepted_values(df: DataFrame, col: str, values: list[str]) -> DataFrame:
+    """Rows outside the accepted domain (dbt `accepted_values`)."""
+    return df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+
+
+def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
+    """One row per named check with its violation count (0 = pass)."""
+    spark = next(iter(checks.values())).sparkSession
+    outs = [
+        df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, df in checks.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@q(
+    "dq_report_testdata",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_grain_unique',
+           (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+    """,
+)
+def dq_report_testdata(spark, sf_dir):
+    """The grain/integrity suite the reference's docs imply
+    (metrics_guide.md:7-12 grain notes), run over the generic testdata."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return dq_report(
+        {
+            "orders_pk_unique": expect_unique(orders, ["o_orderkey"]),
+            "lineitem_grain_unique": expect_unique(lineitem, ["l_orderkey", "l_linenumber"]),
+            "orders_custkey_not_null": expect_not_null(orders, ["o_custkey"]),
+            "lineitem_fk_orders": expect_fk(lineitem, "l_orderkey", orders, "o_orderkey"),
+            "orders_status_domain": expect_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        }
+    )

@@ -211,6 +211,74 @@ def ann_lsh_cosine(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+NEAR_DUP_COS = 0.9
+
+
+def embedding_near_dup_pairs(
+    vecs: DataFrame, threshold: float = NEAR_DUP_COS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs share >= 1 LSH
+    band signature (bounded equi-join, never O(n²)), then exact cosine
+    verification. The dedup-flavored sibling of ann_lsh_topk — emits every
+    (a < b) pair above threshold instead of per-query top-k."""
+    sigs = lsh_signatures(vecs, id_col, vec_col)
+    a = sigs.withColumnRenamed("vid", "vec_a")
+    b = sigs.withColumnRenamed("vid", "vec_b")
+    cands = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("av"))
+    vb = vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("bv"))
+    sim = F.round(V.cosine(F.col("av"), F.col("bv")), 6)
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _near_dup_sql() -> str:
+    cos_ab = (
+        "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * "
+        "sqrt(list_dot_product(bv, bv)))"
+    )
+    band_sig = (
+        "SUM(CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << (plane_id % "
+        f"{_BITS_PER_BAND}) ELSE 0 END)"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, plane_id // {_BITS_PER_BAND} AS band, {band_sig} AS band_sig
+  FROM vecs, {_planes_sql()}
+  GROUP BY vec_id, plane_id // {_BITS_PER_BAND}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND({cos_ab}, 6) AS sim
+FROM cands
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a ON a.vec_id = vec_a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b ON b.vec_id = vec_b
+WHERE ROUND({cos_ab}, 6) >= {NEAR_DUP_COS}
+"""
+
+
+@q("embedding_near_dup", _near_dup_sql())
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, fully oracle-checked (deterministic
+    hyperplanes embedded in both engines)."""
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+
 # ---------------------------------------------------------------------------
 # Per-label centroids.
 # ---------------------------------------------------------------------------
