@@ -308,3 +308,100 @@ def embedding_label_centroids(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed lists.
+# ---------------------------------------------------------------------------
+def ivf_fit(
+    vecs: DataFrame, n_lists: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer via DataFrame-native Lloyd iterations.
+
+    Init = the n_lists lowest-id vectors (deterministic, no RNG); each round
+    broadcasts the centroids, assigns every vector to its nearest list with
+    one min_by aggregate, and recomputes centroids dimension-wise via
+    posexplode + avg (the embedding_label_centroids pattern). Everything is a
+    bounded broadcast or a single hash aggregate — no driver-side vectors, so
+    the fit runs unchanged over a 100 TB corpus.
+
+    Returns (list_id, centroid array<double>).
+    """
+    cent = (
+        vecs.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(vec_col).alias("cv"))
+        .withColumn("list_id", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
+    )
+    v = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        d = V.dot(F.col("v"), F.col("cv"))
+        # cosine on unit-agnostic data: use negative dot/(|v||c|) distance
+        sim = F.try_divide(d, V.norm(F.col("v")) * V.norm(F.col("cv")))
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .groupBy("vid")
+            .agg(
+                F.max_by("list_id", sim).alias("list_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        cent = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"))
+        )
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+    k: int = 5, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest lists per query; exact cosine only within
+    those lists. Scan cost drops to ~nprobe/n_lists of brute force."""
+    cent = F.broadcast(centroids)
+    sim_c = F.try_divide(
+        V.dot(F.col("v"), F.col("cv")), V.norm(F.col("v")) * V.norm(F.col("cv"))
+    )
+    corpus_v = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    corpus_assigned = (
+        corpus_v.crossJoin(cent)
+        .groupBy("neighbor_id")
+        .agg(F.max_by("list_id", sim_c).alias("list_id"), F.first("v").alias("cv_corpus"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("list_id").asc())
+    query_probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .crossJoin(cent)
+        .select("query_id", "v", "list_id", sim_c.alias("csim"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("v").alias("qv"), "list_id")
+    )
+    sim = F.round(V.cosine(F.col("cv_corpus"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(query_probes)
+        .join(corpus_assigned, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").alias("rank"))
+    )
+
+
+@q("ann_ivf_cosine")  # rows-only: iterative float means aren't oracle-reproducible
+def ann_ivf_cosine(spark, sf_dir):
+    """IVF ANN: 8-list coarse quantizer, 2-probe search. Tests assert recall
+    against the brute-force baseline and that every returned sim is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = ivf_fit(emb, n_lists=8, iters=3).persist()
+    cent.count()
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cent, k=5, nprobe=2)

