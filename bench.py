@@ -57,6 +57,9 @@ def main() -> None:
         "dedup_minhash_lsh",       # signature + band join + verify
         "ann_lsh_cosine",          # LSH ANN top-k
         "text_quality",            # text featurization
+        "sessionize_batch",        # gap-based session windows
+        "ingest_flatten_roundtrip",  # nest + dlt-flatten + lineage join
+        "dq_report_testdata",      # data-quality validator suite
     ]
 
     # untimed warmup: JVM/codegen/file-listing init shouldn't be attributed
