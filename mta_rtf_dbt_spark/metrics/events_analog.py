@@ -304,6 +304,104 @@ def m9_analog(spark, sf_dir):
 
 
 @q(
+    "m3_analog_service_delivered",
+    """
+    WITH wl AS (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-03-31'
+        AND dayofweek(CAST(o_orderdate AS DATE)) + 1 BETWEEN 2 AND 6
+    ),
+    fln AS (
+      SELECT l_orderkey, MIN(l_linenumber) AS min_ln
+      FROM lineitem GROUP BY 1
+    ),
+    sched AS (
+      SELECT wl.o_orderkey,
+             wl.o_orderdate
+               + CAST(split_part(printf('%02d:30:00', CAST(l.l_quantity AS INTEGER)), ':', 1) AS BIGINT) * INTERVAL 1 HOUR
+               + CAST(split_part(printf('%02d:30:00', CAST(l.l_quantity AS INTEGER)), ':', 2) AS BIGINT) * INTERVAL 1 MINUTE
+               + CAST(split_part(printf('%02d:30:00', CAST(l.l_quantity AS INTEGER)), ':', 3) AS BIGINT) * INTERVAL 1 SECOND
+             AS sched_ts
+      FROM wl
+      JOIN fln ON fln.l_orderkey = wl.o_orderkey
+      JOIN lineitem l ON l.l_orderkey = wl.o_orderkey
+       AND CAST(l.l_linenumber AS VARCHAR) = CAST(fln.min_ln AS VARCHAR)
+    ),
+    actual AS (
+      SELECT DISTINCT l_orderkey AS o_orderkey, 1 AS delivered_flag FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-05-31'
+    )
+    SELECT CAST(s.sched_ts AS DATE) AS service_day,
+           COUNT(DISTINCT s.o_orderkey) AS scheduled,
+           COUNT(DISTINCT CASE WHEN delivered_flag = 1 THEN s.o_orderkey END) AS delivered,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN delivered_flag = 1 THEN s.o_orderkey END) AS DOUBLE)
+                 / NULLIF(COUNT(DISTINCT s.o_orderkey), 0), 6) AS delivered_pct
+    FROM sched s LEFT JOIN actual a ON a.o_orderkey = s.o_orderkey
+    GROUP BY 1
+    """,
+)
+def m3_analog(spark, sf_dir):
+    """M3 shape (metrics_guide.md:54-138), the richest composition: weekday
+    calendar filter (F14), first-unit argmin (A4), re-join through a
+    cross-type string cast key (J7/D6), schedule timestamp assembled from an
+    HH:MM:SS string by split + interval-add where HH can exceed 23 (F13/D10
+    — quantities reach 50), scheduled-vs-delivered distinct counts with
+    SAFE_DIVIDE (A6/A10, J5-left)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    wl = orders.filter(
+        F.col("o_orderdate").between("1996-03-01", "1996-03-31")
+        # Spark dayofweek is 1=Sunday (same as BigQuery F14); DuckDB's is
+        # 0=Sunday, hence the +1 on the oracle side only
+        & F.dayofweek(F.col("o_orderdate").cast("date")).between(2, 6)
+    ).select("o_orderkey", "o_orderdate")
+    fln = lineitem.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("min_ln"))
+    clock = F.format_string("%02d:30:00", F.col("l_quantity").cast("int"))
+    sched = (
+        wl.join(fln, fln["l_orderkey"] == wl["o_orderkey"])
+        .join(
+            lineitem.alias("l"),
+            (F.col("l.l_orderkey") == wl["o_orderkey"])
+            & (
+                F.col("l.l_linenumber").cast("string")
+                == F.col("min_ln").cast("string")
+            ),
+        )
+        .select(
+            wl["o_orderkey"],
+            bq.gtfs_time_to_ts(
+                F.col("o_orderdate").cast("date"), clock
+            ).alias("sched_ts"),
+        )
+    )
+    actual = (
+        lineitem.filter(F.col("l_shipdate").between("1996-03-01", "1996-05-31"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("delivered_flag", F.lit(1))
+    )
+    return (
+        sched.join(actual, "o_orderkey", "left")
+        .groupBy(F.col("sched_ts").cast("date").alias("service_day"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("scheduled"),
+            F.countDistinct(
+                F.when(F.col("delivered_flag") == 1, F.col("o_orderkey"))
+            ).alias("delivered"),
+            F.round(
+                bq.safe_divide(
+                    F.countDistinct(
+                        F.when(F.col("delivered_flag") == 1, F.col("o_orderkey"))
+                    ).cast("double"),
+                    F.countDistinct("o_orderkey"),
+                ),
+                6,
+            ).alias("delivered_pct"),
+        )
+    )
+
+
+@q(
     "m11_analog_latency",
     """
     SELECT event_type, date_trunc('hour', ts) AS ts_hour,
