@@ -277,6 +277,105 @@ def m12_analog(spark, sf_dir):
 
 
 @q(
+    "m6_analog_dwell",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS arr, max(ts) AS dep
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT user_id, d AS service_day,
+           CAST((epoch_us(dep) - epoch_us(arr)
+                 - ((epoch_us(dep) - epoch_us(arr)) % 1000000)) // 1000000 AS BIGINT) AS dwell_s
+    FROM spans
+    WHERE arr IS NOT NULL AND dep IS NOT NULL AND dep >= arr
+    """,
+)
+def m6_analog(spark, sf_dir):
+    """M6 shape (metrics_guide.md:203-214): paired arrival/departure per key
+    (P4 null guards), truncated second diff (F8/D9)."""
+    e = load(spark, sf_dir, "events")
+    spans = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("date").alias("service_day"))
+        .agg(F.min("ts").alias("arr"), F.max("ts").alias("dep"))
+    )
+    return spans.filter(
+        F.col("arr").isNotNull() & F.col("dep").isNotNull() & (F.col("dep") >= F.col("arr"))
+    ).select(
+        "user_id",
+        "service_day",
+        bq.timestamp_diff(F.col("dep"), F.col("arr"), "SECOND").alias("dwell_s"),
+    )
+
+
+@q(
+    "m8_analog_excess_delay",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) - epoch_us(date_trunc('hour', ts))
+                   - ((epoch_us(ts) - epoch_us(date_trunc('hour', ts))) % 1000000)) // 1000000 AS BIGINT)
+               AS delay_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(quantile_cont(delay_s, 0.5) AS DOUBLE) AS p50_s,
+           CAST(quantile_cont(delay_s, 0.9) AS DOUBLE) AS p90_s,
+           COUNT(*) AS n
+    FROM d GROUP BY 1
+    """,
+)
+def m8_analog(spark, sf_dir):
+    """M8 shape (metrics_guide.md:240-275): delay vs a schedule anchor, then
+    p50/p90 per group — exact percentile (D7: APPROX_QUANTILES differs by
+    sketch, so correctness uses exact; percentile_approx stays the scale
+    path)."""
+    e = load(spark, sf_dir, "events")
+    delay = bq.timestamp_diff(
+        F.col("ts"), bq.timestamp_trunc(F.col("ts"), "hour"), "SECOND"
+    )
+    return (
+        e.select("event_type", delay.alias("delay_s"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(delay_s, 0.5)").alias("p50_s"),
+            F.expr("percentile(delay_s, 0.9)").alias("p90_s"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "m10_analog_added_share",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_added,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS is_canceled
+      FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_total,
+           ROUND(AVG(CAST(is_added AS DOUBLE)), 6) AS added_pct,
+           ROUND(AVG(CAST(is_canceled AS DOUBLE)), 6) AS canceled_pct
+    FROM flags
+    """,
+)
+def m10_analog(spark, sf_dir):
+    """M10 shape (metrics_guide.md:296-307): per-entity boolean flags rolled
+    up to population shares (A8 over the trip-grain rollup)."""
+    e = load(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("is_added"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("is_canceled"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.round(F.avg(F.col("is_added").cast("double")), 6).alias("added_pct"),
+        F.round(F.avg(F.col("is_canceled").cast("double")), 6).alias("canceled_pct"),
+    )
+
+
+@q(
     "m9_analog_completeness",
     """
     WITH agg AS (
