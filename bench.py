@@ -45,6 +45,9 @@ def main() -> None:
 
     headline = [
         "q1_pricing_summary",      # wide agg scan
+        "q3_shipping_priority",    # 3-way join + top-k
+        "q5_local_supplier_volume",  # 6-way snowflake, broadcast dims
+        "q18_large_volume_customer",  # semi-join on pre-aggregated child
         "j1_inner_join_agg",       # fact-fact shuffle join
         "j2_left_broadcast_dims",  # broadcast star join
         "j6_banded_range_join",    # equi + range residual
