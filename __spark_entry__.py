@@ -28,6 +28,7 @@ def _registries():
         "mta_rtf_dbt_spark.streaming.jobs",
         "mta_rtf_dbt_spark.sources.ingest",
         "mta_rtf_dbt_spark.operators.quality",
+        "mta_rtf_dbt_spark.operators.merge",
     ]
     out = []
     for m in mods:
