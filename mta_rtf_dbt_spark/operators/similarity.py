@@ -38,12 +38,23 @@ ORACLE: dict[str, str] = {}
 DIM = 64          # testdata embedding dimensionality (TESTDATA.md)
 N_PLANES = 16
 N_BANDS = 4
-_BITS_PER_BAND = N_PLANES // N_BANDS
 
 # Deterministic hyperplanes, shared verbatim with the SQL oracle.
 _rng = random.Random(7)
 PLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+# Near-dup banding: same band count but 8 sign bits per band (32 planes).
+# Candidate pairs scale ~ n²·bands/2^bits — doubling bits/band cut measured
+# candidates 13x on the testdata corpus while keeping >=0.89 recall at the
+# cos>=0.95 regime near-dup targets (p_match = (1-acos(s)/pi)^bits per band).
+# At 100 TB, bits/band is the knob that grows with log2(corpus size).
+ND_N_PLANES = 32
+ND_N_BANDS = 4
+_rng_nd = random.Random(11)
+ND_PLANES: list[list[float]] = [
+    [round(_rng_nd.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(ND_N_PLANES)
 ]
 
 
@@ -60,10 +71,6 @@ def q(name: str, sql: str | None = None):
         return wrapped
 
     return deco
-
-
-def _plane_col(plane: list[float]) -> F.Column:
-    return F.array(*[F.lit(x) for x in plane])
 
 
 def cosine_topk(
@@ -116,19 +123,60 @@ def knn_brute_force_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH ANN.
 # ---------------------------------------------------------------------------
-def lsh_signatures(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, band, band_signature): sign bit per hyperplane, packed per band."""
-    v = F.col(vec_col)
-    bits = [V.dot(v, _plane_col(p)) >= 0 for p in PLANES]
-    band_vals = []
-    for band in range(N_BANDS):
-        val = F.lit(0)
-        for j in range(_BITS_PER_BAND):
-            val = val + F.when(bits[band * _BITS_PER_BAND + j], F.lit(1 << j)).otherwise(F.lit(0))
-        band_vals.append(val)
-    return df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.array(*band_vals)).alias("band", "band_sig"),
+# Sign decisions integerize each product at 1e9 (round-then-long) so the dot
+# is an order-free exact integer sum — a hash aggregate may combine in any
+# order on either engine and the sign bit still matches bit-for-bit.
+_DOT_SCALE = 1_000_000_000
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] = PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(id, band, band_signature): sign bit per hyperplane, packed per band.
+
+    Shape: posexplode the vectors once, broadcast-join the |planes|x|dim|
+    coefficient table on position, and take the plane dots as ONE hash
+    aggregate over (id, plane) — N nested array-fold Columns per row is
+    interpreted expression eval and measured 10-30x slower (the MinHash
+    lesson, dedup.py). Cost is |rows|·dim·|planes| codegen'd multiply-adds,
+    fully partition-parallel."""
+    spark = df.sparkSession
+    bits_per_band = len(planes) // n_bands
+    plane_rows = [
+        (pid, pos + 1, float(pval))
+        for pid, p in enumerate(planes)
+        for pos, pval in enumerate(p)
+    ]
+    pl = spark.createDataFrame(plane_rows, "plane_id int, pos int, pval double")
+    ve = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("pos0", "val")
+    ).select("vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double"))
+    dots = (
+        ve.join(F.broadcast(pl), "pos")
+        .groupBy("vid", "plane_id")
+        .agg(
+            F.sum(F.round(F.col("val") * F.col("pval") * _DOT_SCALE, 0).cast("long")).alias(
+                "dot_i"
+            )
+        )
+    )
+    return (
+        dots.groupBy(
+            "vid", F.floor(F.col("plane_id") / bits_per_band).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot_i") >= 0,
+                    F.expr(f"shiftleft(1L, CAST(plane_id % {bits_per_band} AS INT))"),
+                ).otherwise(F.lit(0))
+            ).alias("band_sig")
+        )
+        .select("vid", "band", "band_sig")
     )
 
 
@@ -139,7 +187,7 @@ def ann_lsh_topk(
     """Candidates share >= 1 band signature with the query; exact cosine
     re-rank of the candidate set only."""
     qs = lsh_signatures(queries, id_col, vec_col).withColumnRenamed("vid", "query_id")
-    cs = lsh_signatures(corpus, id_col, vec_col).withColumnRenamed("vid", "neighbor_id")
+    cs = lsh_signatures(spread(corpus), id_col, vec_col).withColumnRenamed("vid", "neighbor_id")
     cands = (
         F.broadcast(qs)
         .join(cs, ["band", "band_sig"])
@@ -161,25 +209,42 @@ def ann_lsh_topk(
     )
 
 
-def _planes_sql() -> str:
+def _planes_sql(planes: list[list[float]] = PLANES) -> str:
     rows = ",\n    ".join(
-        f"({i}, CAST([{', '.join(f'{x!r}' for x in p)}] AS DOUBLE[]))" for i, p in enumerate(PLANES)
+        f"({i}, CAST([{', '.join(f'{x!r}' for x in p)}] AS DOUBLE[]))" for i, p in enumerate(planes)
     )
     return f"(VALUES\n    {rows}) AS planes(plane_id, pv)"
 
 
-def _ann_sql() -> str:
-    band_sig = (
-        "SUM(CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << (plane_id % "
-        f"{_BITS_PER_BAND}) ELSE 0 END)"
-    )
-    return f"""
-WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sigs AS (
-  SELECT vec_id, plane_id // {_BITS_PER_BAND} AS band, {band_sig} AS band_sig
-  FROM vecs, {_planes_sql()}
-  GROUP BY vec_id, plane_id // {_BITS_PER_BAND}
+def _sigs_sql(planes: list[list[float]], n_bands: int) -> str:
+    """The sigs CTE chain, computation-identical to :func:`lsh_signatures`
+    (same positional join, same integerized per-product rounding, same
+    order-free integer sum)."""
+    bits = len(planes) // n_bands
+    return f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+plane_elems AS (
+  SELECT plane_id, i AS pos, pv[i] AS pval
+  FROM {_planes_sql(planes)}, generate_series(1, {DIM}) AS gs(i)
 ),
+vec_elems AS (
+  SELECT vec_id, i AS pos, v[i] AS val
+  FROM vecs, generate_series(1, {DIM}) AS gs(i)
+),
+dots AS (
+  SELECT vec_id, plane_id,
+         SUM(CAST(ROUND(val * pval * {_DOT_SCALE}) AS BIGINT)) AS dot_i
+  FROM vec_elems JOIN plane_elems USING (pos) GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, plane_id // {bits} AS band,
+         SUM(CASE WHEN dot_i >= 0 THEN 1 << (plane_id % {bits}) ELSE 0 END) AS band_sig
+  FROM dots GROUP BY 1, 2
+)"""
+
+
+def _ann_sql() -> str:
+    return f"""
+WITH {_sigs_sql(PLANES, N_BANDS)},
 qsig AS (SELECT vec_id AS query_id, band, band_sig FROM sigs WHERE vec_id < 5),
 cands AS (
   SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
@@ -221,8 +286,16 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup detection: candidate pairs share >= 1 LSH
     band signature (bounded equi-join, never O(n²)), then exact cosine
     verification. The dedup-flavored sibling of ann_lsh_topk — emits every
-    (a < b) pair above threshold instead of per-query top-k."""
-    sigs = lsh_signatures(vecs, id_col, vec_col)
+    (a < b) pair above threshold instead of per-query top-k. Uses the wider
+    ND banding (8 bits/band): near-dup thresholds are high, so the extra
+    selectivity costs little recall and cuts verification pairs ~13x.
+
+    The signature table feeds both sides of the self-join — persist it so the
+    plane dots compute once (at 100 TB you'd materialize signatures anyway;
+    they're the reusable index)."""
+    sigs = lsh_signatures(
+        spread(vecs), id_col, vec_col, planes=ND_PLANES, n_bands=ND_N_BANDS
+    ).persist()
     a = sigs.withColumnRenamed("vid", "vec_a")
     b = sigs.withColumnRenamed("vid", "vec_b")
     cands = (
@@ -247,17 +320,8 @@ def _near_dup_sql() -> str:
         "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * "
         "sqrt(list_dot_product(bv, bv)))"
     )
-    band_sig = (
-        "SUM(CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << (plane_id % "
-        f"{_BITS_PER_BAND}) ELSE 0 END)"
-    )
     return f"""
-WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sigs AS (
-  SELECT vec_id, plane_id // {_BITS_PER_BAND} AS band, {band_sig} AS band_sig
-  FROM vecs, {_planes_sql()}
-  GROUP BY vec_id, plane_id // {_BITS_PER_BAND}
-),
+WITH {_sigs_sql(ND_PLANES, ND_N_BANDS)},
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig

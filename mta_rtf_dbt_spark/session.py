@@ -102,6 +102,16 @@ def pin_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable in this deployment — keep going
+    # Right-size shuffle width to the machine: AQE coalesces batch shuffles
+    # anyway, but streaming state partitioning is fixed at spark.sql.shuffle.
+    # partitions on first batch — 200 state stores on a 32-core local box is
+    # pure setup overhead. Only touch the Spark default; respect an explicit
+    # operator choice.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 

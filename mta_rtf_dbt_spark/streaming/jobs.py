@@ -205,3 +205,44 @@ def stream_stateful(spark, sf_dir):
         "last_ts",
     )
     return run_to_memory(out, "update")
+
+
+@q(
+    "stream_tws_user_profile",
+    """
+    WITH bt AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, event_type AS top_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_types
+      FROM bt
+    ),
+    tot AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli
+      FROM events GROUP BY 1
+    )
+    SELECT t.user_id, t.n_events, t.value_milli, p.n_types, p.top_type
+    FROM tot t JOIN top p ON t.user_id = p.user_id AND p.rn = 1
+    """,
+)
+def stream_tws_profile(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user profile
+    from a ValueState + MapState pair. One micro-batch → the final emission
+    per user equals the batch profile, so the composite-state path is fully
+    oracle-checked (totals, distinct-type count, deterministic top type)."""
+    from mta_rtf_dbt_spark.streaming.tws import user_activity_profile
+
+    src = stream_source(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("double")
+    )
+    out = user_activity_profile(src).select(
+        "user_id",
+        "n_events",
+        F.col("value_sum").cast("long").alias("value_milli"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "top_type",
+    )
+    return run_to_memory(out, "update")

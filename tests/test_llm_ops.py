@@ -122,3 +122,27 @@ def test_ivf_ann_recall_and_exactness(spark):
             assert abs(sim - brute[pair]) < 1e-9
     recall = sum(1 for p in ivf if p in brute) / len(brute)
     assert recall >= 0.6, recall
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Planted near-dups (clone + small noise) must surface through the ND
+    banding; far pairs must not. Candidate pruning may never cost a true
+    >=0.98-cosine duplicate at this corpus size."""
+    import random
+
+    from mta_rtf_dbt_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        if i < 10:  # ids 100+i are near-clones of ids 0..9
+            rows.append((100 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.98).collect()
+    }
+    assert {(i, 100 + i) for i in range(10)} <= found
+    assert all(b - a == 100 for a, b in found)  # no false pairs among random vecs

@@ -153,3 +153,43 @@ def test_session_windows_batch_stream_parity(spark, split_events_dir):
     assert sorted(map(tuple, batch.select(cols).collect())) == sorted(
         map(tuple, stream.select(cols).collect())
     )
+
+
+def test_tws_profile_state_across_batches(spark, split_events_dir):
+    """transformWithStateInPandas: ValueState + MapState must both carry
+    across 3 micro-batches — final emission per user equals the batch
+    profile (including the deterministic top_type from the MapState)."""
+    from mta_rtf_dbt_spark.streaming.head import run_to_memory
+    from mta_rtf_dbt_spark.streaming.tws import user_activity_profile
+
+    src = _stream_dir(spark, split_events_dir)
+    out = run_to_memory(user_activity_profile(src), "update")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(w.partitionBy("user_id").orderBy(F.col("n_events").desc())),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n_events", "n_types", "top_type")
+    )
+    batch = spark.read.parquet(split_events_dir)
+    bt = batch.groupBy("user_id", "event_type").count()
+    expected = (
+        bt.withColumn(
+            "rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy(F.col("count").desc(), F.col("event_type").asc())
+            ),
+        )
+        .filter("rn = 1")
+        .join(
+            batch.groupBy("user_id").agg(F.count("*").alias("n_events")), "user_id"
+        )
+        .join(
+            bt.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types")),
+            "user_id",
+        )
+        .select("user_id", "n_events", "n_types", F.col("event_type").alias("top_type"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
