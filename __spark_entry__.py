@@ -29,6 +29,7 @@ def _registries():
         "mta_rtf_dbt_spark.sources.ingest",
         "mta_rtf_dbt_spark.operators.quality",
         "mta_rtf_dbt_spark.operators.merge",
+        "mta_rtf_dbt_spark.operators.asof",
     ]
     out = []
     for m in mods:

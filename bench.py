@@ -51,6 +51,7 @@ def main() -> None:
         "j1_inner_join_agg",       # fact-fact shuffle join
         "j2_left_broadcast_dims",  # broadcast star join
         "j6_banded_range_join",    # equi + range residual
+        "j_asof_latest_order",     # as-of union-sort-fill
         "a5_argmin_argmax",        # min_by/max_by rollup
         "a9_percentiles",          # percentile agg
         "w2_dedup_latest_per_user",  # window dedup (QUALIFY analogue)
@@ -65,11 +66,22 @@ def main() -> None:
         "dq_report_testdata",      # data-quality validator suite
     ]
 
-    # untimed warmup: JVM/codegen/file-listing init shouldn't be attributed
-    # to whichever query happens to run first
+    # untimed warmup: run every headline shape once at the smallest SF so
+    # whole-stage-codegen JIT, shuffle/broadcast infra, and file-listing init
+    # aren't attributed to the timed run (measured: first execution of an
+    # LSH/minhash-shaped plan carries ~3-5s of one-time JIT regardless of
+    # data size — fixed cost, not the scale story this bench tracks)
     from mta_rtf_dbt_spark.sources.registry import load
 
     load(spark, sf_dir, "lineitem").count()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in headline:
+        fn = qs.get(name)
+        if fn is not None and os.path.isdir(warm_dir):
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup is best-effort; the timed run reports real failures
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load, spread
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -204,8 +204,8 @@ def minhash_lsh_dedup(
     persisting them (eagerly — branches of one job don't reliably share a
     cold cache) computes the shingle explode + hash agg once instead of four
     times. At cluster scale this staging is a parquet/checkpoint write."""
-    sigs = minhash_signatures(docs, num_hashes).persist()
-    sh = shingles(docs, 3).persist()
+    sigs = scoped_persist(minhash_signatures(docs, num_hashes), "minhash.sigs")
+    sh = scoped_persist(shingles(docs, 3), "minhash.shingles")
     sigs.count()
     sh.count()
     cands = lsh_candidate_pairs(sigs, bands)

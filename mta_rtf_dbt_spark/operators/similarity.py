@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import vectors as V
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load, spread
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -293,9 +293,10 @@ def embedding_near_dup_pairs(
     The signature table feeds both sides of the self-join — persist it so the
     plane dots compute once (at 100 TB you'd materialize signatures anyway;
     they're the reusable index)."""
-    sigs = lsh_signatures(
-        spread(vecs), id_col, vec_col, planes=ND_PLANES, n_bands=ND_N_BANDS
-    ).persist()
+    sigs = scoped_persist(
+        lsh_signatures(spread(vecs), id_col, vec_col, planes=ND_PLANES, n_bands=ND_N_BANDS),
+        "near_dup.sigs",
+    )
     a = sigs.withColumnRenamed("vid", "vec_a")
     b = sigs.withColumnRenamed("vid", "vec_b")
     cands = (
@@ -466,6 +467,6 @@ def ann_ivf_cosine(spark, sf_dir):
     """IVF ANN: 8-list coarse quantizer, 2-probe search. Tests assert recall
     against the brute-force baseline and that every returned sim is exact."""
     emb = load(spark, sf_dir, "embeddings")
-    cent = ivf_fit(emb, n_lists=8, iters=3).persist()
+    cent = scoped_persist(ivf_fit(emb, n_lists=8, iters=3), "ivf.centroids")
     cent.count()
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cent, k=5, nprobe=2)

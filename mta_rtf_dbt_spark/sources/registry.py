@@ -87,6 +87,30 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+_SCOPED_PERSISTS: dict[str, DataFrame] = {}
+
+
+def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
+    """Persist ``df``, releasing whatever an earlier invocation persisted
+    under the same scope key.
+
+    Operators that persist an intermediate (signature tables, shingle
+    relations feeding both sides of a self-join) get called repeatedly in one
+    session by the bench harness and the driver gate; a bare ``.persist()``
+    per call pins executor storage without bound and measurably degrades
+    later runs. One live cache per (operator, intermediate) is the intent —
+    this makes that lifecycle explicit."""
+    old = _SCOPED_PERSISTS.pop(scope, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    df = df.persist()
+    _SCOPED_PERSISTS[scope] = df
+    return df
+
+
 def register_all(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
