@@ -30,6 +30,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.quality",
         "mta_rtf_dbt_spark.operators.merge",
         "mta_rtf_dbt_spark.operators.asof",
+        "mta_rtf_dbt_spark.operators.sketches",
     ]
     out = []
     for m in mods:

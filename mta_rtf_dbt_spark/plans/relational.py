@@ -852,3 +852,159 @@ def f_gtfs_clock_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(sched.alias("sched_ts")).groupBy("sched_ts").agg(
         F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension — full ranking-function pack with deterministic tiebreaks.
+# ---------------------------------------------------------------------------
+@q(
+    "w4_rank_pack",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(rank()         OVER w AS BIGINT)  AS rnk,
+           CAST(dense_rank()   OVER w AS BIGINT)  AS drnk,
+           ROUND(percent_rank() OVER w, 6)        AS prnk,
+           ROUND(cume_dist()    OVER w, 6)        AS cdist,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+)
+def w4_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist/ntile in one pass — Spark
+    evaluates all five in a single Window physical operator when the
+    partitioning+ordering agree (one sort, not five). ntile carries the
+    orderkey tiebreak so bucket assignment is total-order deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension — RANGE frame over a time interval (rolling 1-hour sum).
+# ---------------------------------------------------------------------------
+@q(
+    "w5_range_interval_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_hour_milli,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_hour_events
+    FROM events
+    """,
+)
+def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (trailing 1 hour per user). Spark expresses
+    interval ranges by ordering on the epoch and bounding in seconds —
+    identical frame membership to the SQL interval form; sums are integer
+    millis so frame-order float effects can't exist."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    e = load(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000, 0).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(v).over(w).cast("long").alias("rolling_hour_milli"),
+        F.count("*").over(w).cast("long").alias("rolling_hour_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension — GROUPING SETS with grouping_id disambiguation.
+# ---------------------------------------------------------------------------
+@q(
+    "a_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (finer than rollup/cube): per-combo totals in
+    one pass with grouping() flags distinguishing real NULLs from subtotal
+    rows. Scale: one Expand + one hash agg — not three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension — PIVOT (BigQuery PIVOT / conditional-agg equivalence).
+# ---------------------------------------------------------------------------
+@q(
+    "a_pivot_status_by_priority",
+    """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high_n,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium_n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high_total,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS medium_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (required: an inferred list is a
+    separate distinct scan AND nondeterministic column order). Two measures
+    per pivot value; output renamed to stable snake_case columns."""
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside PIVOT
+            F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+        )
+    )
+    ren = {
+        "1-URGENT_n": "urgent_n", "2-HIGH_n": "high_n", "3-MEDIUM_n": "medium_n",
+        "1-URGENT_total": "urgent_total", "2-HIGH_total": "high_total",
+        "3-MEDIUM_total": "medium_total",
+    }
+    out = piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{old}`").alias(new) for old, new in ren.items()],
+    )
+    # pivot COUNT yields NULL for empty cells; SQL COUNT(CASE...) yields 0
+    return out.na.fill(0, [c for c in out.columns if c.endswith("_n")])

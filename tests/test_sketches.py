@@ -1,0 +1,88 @@
+"""Sketch error-bound guarantees vs exact baselines (the correctness story
+for the rows-only a_approx_sketches driver entry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    return load(spark, SF, "events")
+
+
+def test_hllpp_within_rsd(spark, events):
+    from mta_rtf_dbt_spark.operators.sketches import approx_distinct_by_group
+
+    approx = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct_by_group(events, ["event_type"], "user_id", 0.02).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(5, 0.10 * exact[k]), (k, approx[k], exact[k])
+
+
+def test_hll_merge_equals_direct(spark, events):
+    """Merging per-shard sketches must estimate like sketching directly —
+    the property that makes partial sketches storable per partition."""
+    from mta_rtf_dbt_spark.operators.sketches import hll_partial_then_merge
+
+    sharded = events.withColumn("__shard", (F.col("event_id") % 8).cast("int"))
+    merged = {
+        r.event_type: r.merged_estimate
+        for r in hll_partial_then_merge(sharded, "__shard", ["event_type"], "user_id").collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    for k in direct:
+        assert merged[k] == pytest.approx(direct[k], rel=1e-9), (k, merged[k], direct[k])
+
+
+def test_percentile_approx_rank_error(spark, events):
+    from mta_rtf_dbt_spark.operators.sketches import approx_quantiles_by_group
+
+    approx = {
+        r.event_type: r.approx_quantiles
+        for r in approx_quantiles_by_group(
+            events, ["event_type"], "value", [0.5, 0.95], accuracy=10000
+        ).collect()
+    }
+    # rank-error bound: the approx p-quantile must sit between the exact
+    # (p - eps) and (p + eps) quantiles, eps = 1/accuracy (+ slack)
+    for p_idx, p in enumerate([0.5, 0.95]):
+        lo_hi = events.groupBy("event_type").agg(
+            F.expr(f"percentile(value, {max(p - 0.01, 0.0)})").alias("lo"),
+            F.expr(f"percentile(value, {min(p + 0.01, 1.0)})").alias("hi"),
+        )
+        for r in lo_hi.collect():
+            got = approx[r.event_type][p_idx]
+            assert r.lo <= got <= r.hi, (r.event_type, p, got, r.lo, r.hi)
+
+
+def test_heavy_hitters_exactness(spark, events):
+    from mta_rtf_dbt_spark.operators.sketches import heavy_hitters_exact
+
+    out = heavy_hitters_exact(events, ["event_type"], "user_id", support=0.0005)
+    total = events.count()
+    exact = (
+        events.groupBy("event_type", "user_id")
+        .count()
+        .filter(F.col("count") > total * 0.0005)
+    )
+    assert out.count() == exact.count() > 0
