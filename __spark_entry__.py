@@ -31,6 +31,8 @@ def _registries():
         "mta_rtf_dbt_spark.operators.merge",
         "mta_rtf_dbt_spark.operators.asof",
         "mta_rtf_dbt_spark.operators.sketches",
+        "mta_rtf_dbt_spark.operators.graph",
+        "mta_rtf_dbt_spark.operators.sampling",
     ]
     out = []
     for m in mods:

@@ -1,0 +1,134 @@
+"""Connected components over a pair relation — dedup clustering's last mile.
+
+Pair-finding operators (dedup.py, similarity.py) emit *edges*; what a
+training-data pipeline actually deletes is decided per *cluster*: group all
+transitively-linked near-dups and keep one canonical doc. That grouping is
+connected components.
+
+Implementation: DataFrame-native min-label propagation —
+
+  label(v) <- min(label(v), min over neighbors' labels)
+
+iterated to a fixpoint. Each round is one undirected-edge join + one hash
+min-aggregate; lineage is cut per round with ``localCheckpoint`` (an
+iterative plan otherwise re-derives every prior round — the classic Spark
+iteration trap). Rounds needed = graph diameter in the worst case
+(large-star/small-star halves that; diameters of near-dup clusters are tiny
+in practice). No driver-side graph state — node labels never leave the
+cluster; the only driver value is the per-round convergence count.
+
+The driver entry is **fully oracle-checked**: min-reachable-id is a
+deterministic labeling, and DuckDB expresses it as a recursive CTE over the
+same edge set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) where component = min node id reachable via edges.
+
+    ``edges`` is undirected (each pair listed once, either orientation).
+    Isolated nodes don't appear (no edges -> their component is themselves —
+    callers union them back if needed, as the driver entry does).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("__chg"),
+            )
+            .localCheckpoint()  # cut lineage BEFORE the convergence action
+        )
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+_CC_SQL = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
+                               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+       FROM toks WHERE len(arr) >= 3),
+cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.2
+),
+und AS (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+rch AS (
+  SELECT a AS node, a AS label FROM und
+  UNION
+  SELECT u.a, r.label FROM und u JOIN rch r ON r.node = u.b
+)
+SELECT node, MIN(label) AS component FROM rch GROUP BY node
+"""
+
+
+@q("dedup_connected_components", _CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the exact-Jaccard near-dup pairs (>= 0.2) into components.
+    Oracle: recursive CTE computing the same min-reachable-id labeling over
+    the same edges."""
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
+
+    edges = jaccard_pairs(shingles(load(spark, sf_dir, "documents"), 3), 0.2)
+    return connected_components(edges, "doc_a", "doc_b")

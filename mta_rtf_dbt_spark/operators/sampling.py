@@ -1,0 +1,131 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+Random sampling (``df.sample``) is not reproducible across engines, runs, or
+partitionings — useless for a training-data pipeline that must re-derive the
+exact same train/val/test membership every rebuild. These operators key
+every decision off a **pure-integer LCG hash of the row's stable id**:
+
+    bucket(id) = ((id * 1103515245 + 12345 + seed) mod 2^31) mod n_buckets
+
+Exact 64-bit integer arithmetic, no overflow for ids < ~8e9 (largest
+intermediate = id * 1103515245 < 2^63), so DuckDB reproduces membership
+bit-for-bit — the split entries are fully oracle-checked, unlike any
+RNG-based sample. Membership is a per-row map-side predicate: no shuffle,
+no state, stable under repartitioning — at 100 TB the split costs a scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_A = 1103515245
+_C = 12345
+_M = 2_147_483_648  # 2^31
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def lcg_bucket(id_col: Column, n_buckets: int = 100, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id."""
+    return ((id_col.cast("long") * _A + _C + seed) % _M) % n_buckets
+
+
+def _lcg_sql(expr: str, n_buckets: int = 100, seed: int = 0) -> str:
+    return f"((({expr}) * {_A} + {_C + seed}) % {_M}) % {n_buckets}"
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds a ``split`` column. ``weights`` maps split name -> percent (must
+    total 100); default 80/10/10 train/val/test. Same id ⇒ same split,
+    every run, every engine, every partitioning."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "weights must total 100"
+    b = lcg_bucket(F.col(id_col), 100, seed)
+    expr, lo = None, 0
+    for name, w in weights.items():
+        cond = b < (lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, pct: int, seed: int = 0
+) -> DataFrame:
+    """Keep pct% of rows, chosen deterministically per id. With a hash
+    uniform in the id population this approximates pct% *within every
+    stratum* without grouping — stratification for free, no shuffle."""
+    return df.filter(lcg_bucket(F.col(id_col), 100, seed) < pct)
+
+
+_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN {_lcg_sql("doc_id")} < 80 THEN 'train'
+            WHEN {_lcg_sql("doc_id")} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@q("sample_train_test_split", _SPLIT_SQL)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split of documents; per-(lang, split) counts
+    and sizes. Fully oracle-checked — membership itself is verified, not
+    just proportions."""
+    docs = train_test_split(load(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+_STRAT_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+WHERE {_lcg_sql("event_id", seed=7)} < 10
+GROUP BY 1
+"""
+
+
+@q("sample_stratified_events", _STRAT_SQL)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of events (seed 7), aggregated per type.
+    Tests assert the per-stratum rate lands near 10% for every event_type."""
+    e = stratified_sample(load(spark, sf_dir, "events"), "event_id", 10, seed=7)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    )

@@ -1008,3 +1008,46 @@ def a_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot COUNT yields NULL for empty cells; SQL COUNT(CASE...) yields 0
     return out.na.fill(0, [c for c in out.columns if c.endswith("_n")])
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extension — UNPIVOT/melt (inverse of pivot; BigQuery UNPIVOT).
+# ---------------------------------------------------------------------------
+@q(
+    "a_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_linenumber = 1
+    )
+    """,
+)
+def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT three measure columns to (measure, value) rows via the native
+    unpivot operator — one Expand node, one scan (the UNION-ALL oracle form
+    scans three times; at scale the single-scan shape is the point)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [F.col("l_quantity").alias("quantity"),
+             F.col("l_extendedprice").alias("extendedprice"),
+             F.col("l_discount").alias("discount")],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+        )
+    )
