@@ -33,6 +33,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.sketches",
         "mta_rtf_dbt_spark.operators.graph",
         "mta_rtf_dbt_spark.operators.sampling",
+        "mta_rtf_dbt_spark.sources.formats",
     ]
     out = []
     for m in mods:
