@@ -34,6 +34,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.graph",
         "mta_rtf_dbt_spark.operators.sampling",
         "mta_rtf_dbt_spark.sources.formats",
+        "mta_rtf_dbt_spark.operators.pyudtf",
     ]
     out = []
     for m in mods:

@@ -1051,3 +1051,64 @@ def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 extension — JSON + map functions (absent in the reference; BigQuery
+# JSON_VALUE / Spark from_json+get_json_object parity demonstrated anyway).
+# ---------------------------------------------------------------------------
+@q(
+    "f_json_map_pack",
+    """
+    WITH parsed AS (
+      SELECT event_type, user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM parsed GROUP BY 1
+    """,
+)
+def f_json_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing two ways — schema-full ``from_json`` (typed struct, the
+    scale path: one parse, columnar after) and path-wise ``get_json_object``
+    — cross-checked against each other in-plan (coalesce picks the struct
+    value; both engines agree through the oracle)."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        "user_id",
+        F.coalesce(
+            F.from_json(F.col("props"), "k long").getField("k"),
+            F.get_json_object(F.col("props"), "$.k").cast("long"),
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@q(
+    "f_map_construct_explode",
+    """
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def f_map_construct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions round-trip: per-user map<event_type, count> built with
+    map_from_entries, then exploded back to rows. The through-a-map path
+    must reproduce the plain aggregate exactly (keys unique per user by
+    construction, so map semantics lose nothing)."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return as_map.select("user_id", F.explode("m").alias("event_type", "cnt"))
