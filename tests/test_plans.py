@@ -66,3 +66,26 @@ def test_whole_stage_codegen_covers_metrics(spark):
     assert "isFinalPlan=true" in plan
     # '*(n)' node prefixes mark whole-stage-codegen spans in plan toString()
     assert "*(" in plan, plan[:2000]
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """Q5's four dimension joins must be broadcast — a shuffled dim lookup
+    at 100 TB is the canonical plan bug this suite guards against."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # at test SF everything fits broadcast
+
+
+def test_q18_semi_join_on_preagg(spark):
+    """Q18's HAVING subquery must appear as a (left-)semi join against the
+    aggregated child, not a full join + dedup."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q18_large_volume_customer"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
