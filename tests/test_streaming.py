@@ -193,3 +193,48 @@ def test_tws_profile_state_across_batches(spark, split_events_dir):
         .select("user_id", "n_events", "n_types", F.col("event_type").alias("top_type"))
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_merge_upsert_multi_batch(spark, split_events_dir, tmp_path):
+    """3 micro-batches foreachBatch-MERGEd into a keyed parquet table must
+    equal the batch-computed last-write-per-key, and replaying the drained
+    stream (same checkpoint) must change nothing (idempotent sink)."""
+    from mta_rtf_dbt_spark.streaming.upsert import stream_merge_upsert
+
+    target = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.read.parquet(split_events_dir)
+    # seed the target with an empty keyed table (schema = per-user state)
+    state_cols = ["user_id", "event_type", "ts", "value"]
+    batch.select(*state_cols).limit(0).write.parquet(target)
+
+    src = _stream_dir(spark, split_events_dir).select(*state_cols)
+    q = stream_merge_upsert(
+        spark, src, target, on=["user_id"], checkpoint=ckpt,
+        dedup_order=["ts", "event_type"],
+    )
+    q.awaitTermination(120)
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    expected = (
+        batch.select(*state_cols)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_type").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == expected.count()
+    assert got.select(*state_cols).subtract(expected).count() == 0
+
+    # replay: checkpoint says everything is processed -> no-op
+    q2 = stream_merge_upsert(
+        spark, src, target, on=["user_id"], checkpoint=ckpt,
+        dedup_order=["ts", "event_type"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).subtract(expected).count() == 0
