@@ -138,6 +138,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """num_hashes seeded min-hashes over word shingles, as one array column.
     Hash family: xxhash64(seed_i, shingle).
@@ -147,8 +148,11 @@ def minhash_signatures(
     combined, flat codegen. (The tempting alternative — num_hashes
     `array_min(transform(shingle_array, ...))` expressions in a single
     projection — duplicates the tokenize/slice expression tree per hash and
-    is orders of magnitude slower.)"""
-    sh = shingles(docs, shingle_n, text_col, id_col)
+    is orders of magnitude slower.)
+
+    ``shingle_rel``: pass an existing (doc_id, shingle) relation to reuse a
+    persisted shingle table instead of re-tokenizing the corpus."""
+    sh = shingle_rel if shingle_rel is not None else shingles(docs, shingle_n, text_col, id_col)
     agg = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -204,10 +208,12 @@ def minhash_lsh_dedup(
     persisting them (eagerly — branches of one job don't reliably share a
     cold cache) computes the shingle explode + hash agg once instead of four
     times. At cluster scale this staging is a parquet/checkpoint write."""
-    sigs = scoped_persist(minhash_signatures(docs, num_hashes), "minhash.sigs")
     sh = scoped_persist(shingles(docs, 3), "minhash.shingles")
+    sh.count()  # materialize the shingle relation ONCE; signatures derive from it
+    sigs = scoped_persist(
+        minhash_signatures(docs, num_hashes, shingle_rel=sh), "minhash.sigs"
+    )
     sigs.count()
-    sh.count()
     cands = lsh_candidate_pairs(sigs, bands)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("sa")
