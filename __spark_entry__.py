@@ -35,6 +35,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.sampling",
         "mta_rtf_dbt_spark.sources.formats",
         "mta_rtf_dbt_spark.operators.pyudtf",
+        "mta_rtf_dbt_spark.operators.tokenize",
     ]
     out = []
     for m in mods:
