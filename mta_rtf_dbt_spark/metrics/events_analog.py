@@ -384,20 +384,23 @@ def m10_analog(spark, sf_dir):
     )
     SELECT COUNT(*) AS users_total,
            count_if(high_seen >= 2) AS users_with_2plus,
-           CAST(count_if(high_seen >= 2) AS DOUBLE) / NULLIF(COUNT(*), 0) AS completeness_rate
+           ROUND(CAST(count_if(high_seen >= 2) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS completeness_rate
     FROM agg
     """,
 )
 def m9_analog(spark, sf_dir):
     """M9 shape (metrics_guide.md:277-294): two-level agg with COUNTIF +
-    SAFE_DIVIDE."""
+    SAFE_DIVIDE. Rate rounded to 6dp both engines (r1 float-hash finding)."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy("user_id").agg(bq.countif(F.col("value") > 50).alias("high_seen"))
     return agg.agg(
         F.count("*").alias("users_total"),
         bq.countif(F.col("high_seen") >= 2).alias("users_with_2plus"),
-        bq.safe_divide(
-            bq.countif(F.col("high_seen") >= 2).cast("double"), F.count("*")
+        F.round(
+            bq.safe_divide(
+                bq.countif(F.col("high_seen") >= 2).cast("double"), F.count("*")
+            ),
+            6,
         ).alias("completeness_rate"),
     )
 
@@ -504,8 +507,8 @@ def m3_analog(spark, sf_dir):
     "m11_analog_latency",
     """
     SELECT event_type, date_trunc('hour', ts) AS ts_hour,
-           AVG(CAST((epoch_us(ts) - epoch_us(date_trunc('minute', ts))
-                - ((epoch_us(ts) - epoch_us(date_trunc('minute', ts))) % 1000000)) // 1000000 AS BIGINT)) AS avg_subminute_s
+           ROUND(AVG(CAST((epoch_us(ts) - epoch_us(date_trunc('minute', ts))
+                - ((epoch_us(ts) - epoch_us(date_trunc('minute', ts))) % 1000000)) // 1000000 AS BIGINT)), 6) AS avg_subminute_s
     FROM events GROUP BY 1, 2
     """,
 )
@@ -516,4 +519,4 @@ def m11_analog(spark, sf_dir):
     lat = bq.timestamp_diff(F.col("ts"), bq.timestamp_trunc(F.col("ts"), "minute"), "SECOND")
     return e.groupBy(
         "event_type", bq.timestamp_trunc(F.col("ts"), "hour").alias("ts_hour")
-    ).agg(F.avg(lat).alias("avg_subminute_s"))
+    ).agg(F.round(F.avg(lat), 6).alias("avg_subminute_s"))

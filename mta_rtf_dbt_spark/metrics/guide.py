@@ -153,8 +153,12 @@ def m3_service_delivered(
         .agg(
             F.countDistinct("trip_id").alias("scheduled_trips"),
             F.countDistinct("trip_uid").alias("delivered_trips"),
-            bq.safe_divide(
-                F.countDistinct("trip_uid").cast("double"), F.countDistinct("trip_id")
+            F.round(
+                bq.safe_divide(
+                    F.countDistinct("trip_uid").cast("double"),
+                    F.countDistinct("trip_id"),
+                ),
+                6,
             ).alias("service_delivered"),
         )
         .orderBy("route_id", "direction_id")
@@ -310,8 +314,11 @@ def m9_completeness(models) -> DataFrame:
     return agg.agg(
         F.count("*").alias("trips_total"),
         bq.countif(F.col("stops_seen") >= 2).alias("trips_with_start_and_end"),
-        bq.safe_divide(
-            bq.countif(F.col("stops_seen") >= 2).cast("double"), F.count("*")
+        F.round(
+            bq.safe_divide(
+                bq.countif(F.col("stops_seen") >= 2).cast("double"), F.count("*")
+            ),
+            6,
         ).alias("completeness_rate"),
     )
 
@@ -322,8 +329,8 @@ def m10_added_canceled_share(models) -> DataFrame:
     return (
         ft.groupBy("route_id", "direction_id")
         .agg(
-            (100 * bq.rate(F.col("schedule_relationship") == "ADDED")).alias("added_pct"),
-            (100 * bq.rate(F.col("schedule_relationship") == "CANCELED")).alias("canceled_pct"),
+            F.round(100 * bq.rate(F.col("schedule_relationship") == "ADDED"), 6).alias("added_pct"),
+            F.round(100 * bq.rate(F.col("schedule_relationship") == "CANCELED"), 6).alias("canceled_pct"),
         )
         .orderBy("route_id", "direction_id")
     )
@@ -342,7 +349,7 @@ def m11_feed_latency(models) -> DataFrame:
             "direction_id",
             bq.timestamp_trunc(F.col("first_feed_ts_utc"), "minute").alias("ts_minute"),
         )
-        .agg(F.avg(lat).alias("avg_latency_s"))
+        .agg(F.round(F.avg(lat), 6).alias("avg_latency_s"))
         .orderBy("ts_minute")
     )
 

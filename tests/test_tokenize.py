@@ -33,7 +33,9 @@ def test_vocab_ids_deterministic(spark):
     docs = load(spark, SF, "documents")
     v1 = {r.token: r.token_id for r in build_word_vocab(docs).collect()}
     v2 = {r.token: r.token_id for r in build_word_vocab(docs.repartition(5)).collect()}
-    assert v1 == v2 and len(v1) == 256
+    # vocab is top-k capped at 256; the sf0.001 corpus has ~31 distinct tokens,
+    # so assert determinism + the cap, not an exact size
+    assert v1 == v2 and 0 < len(v1) <= 256
 
 
 def test_encode_oov_consistency(spark):
