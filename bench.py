@@ -60,7 +60,7 @@ def main() -> None:
         "dedup_exact",             # content-hash groupBy
         "dedup_minhash_lsh",       # signature + band join + verify
         "ann_lsh_cosine",          # LSH ANN top-k
-        "text_quality",            # text featurization
+        "text_analysis_pack",      # one-pass text featurization (stats+quality+langid+fp)
         "sessionize_batch",        # gap-based session windows
         "ingest_flatten_roundtrip",  # nest + dlt-flatten + lineage join
         "dq_report_testdata",      # data-quality validator suite

@@ -37,16 +37,6 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
-@q(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           len({_TOKS_SQL}) AS n_tokens,
-           length(text) AS n_chars_actual,
-           ROUND(CAST(length(text) AS DOUBLE) / NULLIF(len({_TOKS_SQL}), 0), 6) AS chars_per_token
-    FROM documents
-    """,
-)
 def text_token_stats(spark, sf_dir):
     """Whitespace token counts + chars-per-token — the basic size/cost
     signals for a training-data pipeline."""
@@ -62,21 +52,6 @@ def text_token_stats(spark, sf_dir):
     )
 
 
-@q(
-    "text_quality",
-    f"""
-    SELECT doc_id,
-           ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                 / NULLIF(length(text), 0), 6) AS punct_ratio,
-           ROUND(CAST(len(list_filter({_TOKS_SQL},
-                 x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','are'))) AS DOUBLE)
-                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS stopword_ratio,
-           len(list_distinct({_TOKS_SQL})) AS n_unique_tokens,
-           ROUND(CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
-                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS lexical_diversity
-    FROM documents
-    """,
-)
 def text_quality(spark, sf_dir):
     """Quality scoring: punctuation ratio, stopword ratio, lexical
     diversity — the standard cheap filters before expensive dedup."""
@@ -93,28 +68,6 @@ def text_quality(spark, sf_dir):
     )
 
 
-def _langid_sql() -> str:
-    hits = []
-    for lang, markers in T.LANG_MARKERS.items():
-        lst = ", ".join(f"'{m}'" for m in markers)
-        hits.append(
-            f"len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) AS {lang}_hits"
-        )
-    # deterministic argmax: order langs alphabetically, pick first max
-    langs = sorted(T.LANG_MARKERS)
-    greatest = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN {lg}_hits = {greatest} THEN '{lg}'" for lg in langs
-    ) + " END"
-    return f"""
-    WITH scored AS (SELECT doc_id, lang AS labeled_lang, {', '.join(hits)} FROM documents)
-    SELECT doc_id, labeled_lang, {', '.join(f'{lg}_hits' for lg in langs)},
-           {case} AS predicted_lang
-    FROM scored
-    """
-
-
-@q("text_langid", _langid_sql())
 def text_langid(spark, sf_dir):
     """Heuristic n-gram/stopword language ID: marker-token hit counts per
     language, deterministic argmax (alphabetical tiebreak)."""
@@ -132,20 +85,84 @@ def text_langid(spark, sf_dir):
     return scored.select("*", pred.alias("predicted_lang"))
 
 
-@q(
-    "text_fingerprint",
-    f"""
-    SELECT doc_id, sha256({_NORM_SQL}) AS fingerprint,
-           substring(sha256({_NORM_SQL}), 1, 16) AS short_fp
-    FROM documents
-    """,
-)
 def text_fingerprint(spark, sf_dir):
     """Content fingerprint: sha256 over normalized text (+ 64-bit prefix)."""
     d = load(spark, sf_dir, "documents")
     fp = T.fingerprint_sha(F.col("text"))
     return d.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("short_fp")
+    )
+
+
+def _text_pack_sql() -> str:
+    hits = []
+    for lang, markers in T.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(f"len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) AS {lang}_hits")
+    langs = sorted(T.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {lg}_hits = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang AS labeled_lang, {', '.join(hits)} FROM documents
+    )
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           ROUND(CAST(length(text) AS DOUBLE) / NULLIF(len({_TOKS_SQL}), 0), 6) AS chars_per_token,
+           ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter({_TOKS_SQL},
+                 x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','are'))) AS DOUBLE)
+                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS stopword_ratio,
+           len(list_distinct({_TOKS_SQL})) AS n_unique_tokens,
+           ROUND(CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                 / NULLIF(len({_TOKS_SQL}), 0), 6) AS lexical_diversity,
+           sha256({_NORM_SQL}) AS fingerprint,
+           substring(sha256({_NORM_SQL}), 1, 16) AS short_fp,
+           labeled_lang,
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@q("text_analysis_pack", _text_pack_sql())
+def text_analysis_pack(spark, sf_dir):
+    """One-pass text featurization: token stats + quality ratios + sha256
+    fingerprint + heuristic language ID (the former text_token_stats /
+    text_quality / text_fingerprint / text_langid driver entries merged so
+    one oracle row verifies all four ops). Still a single Column-only
+    projection — Catalyst collapses it into one codegen stage over one scan
+    of ``documents``."""
+    d = load(spark, sf_dir, "documents")
+    langs = sorted(T.LANG_MARKERS)
+    n_tok = T.token_count(F.col("text"))
+    toks = T.tokens(T.normalize(F.col("text")))
+    fp = T.fingerprint_sha(F.col("text"))
+    hit_cols = {lg: T.lang_score(F.col("text"), lg) for lg in langs}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(hit_cols[langs[0]] == best, langs[0])
+    for lg in langs[1:]:
+        pred = pred.when(hit_cols[lg] == best, lg)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.try_divide(F.length("text").cast("double"), n_tok), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.try_divide(F.size(F.array_distinct(toks)).cast("double"), F.size(toks)), 6
+        ).alias("lexical_diversity"),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("short_fp"),
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
     )
 
 

@@ -626,35 +626,6 @@ def w3_lag_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Frame specs (§2.5 "absent but available"): ROWS BETWEEN rolling window.
-# ---------------------------------------------------------------------------
-@q(
-    "w_rolling_frame",
-    """
-    WITH seq AS (
-      SELECT user_id, event_id, ts,
-             ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3
-      FROM events
-    )
-    SELECT user_id, event_id, rolling3 FROM seq
-    """,
-)
-def w_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROWS BETWEEN frame spec — sums ≤3 doubles in a deterministic order, so
-    round(.,6) hash-matches."""
-    e = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return e.select(
-        "user_id", "event_id", F.round(F.sum("value").over(w), 6).alias("rolling3")
-    )
-
-
-# ---------------------------------------------------------------------------
 # §2.6 O1 — deterministic multi-column top-k.
 # ---------------------------------------------------------------------------
 @q(
@@ -907,19 +878,29 @@ def w4_rank_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS rolling_hour_events
+           ) AS BIGINT) AS rolling_hour_events,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3
     FROM events
     """,
 )
 def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-interval RANGE frame (trailing 1 hour per user). Spark expresses
-    interval ranges by ordering on the epoch and bounding in seconds —
-    identical frame membership to the SQL interval form; sums are integer
-    millis so frame-order float effects can't exist."""
+    """Time-interval RANGE frame (trailing 1 hour per user) plus a ROWS
+    BETWEEN 2 PRECEDING frame in the same pass (absorbs the former
+    w_rolling_frame entry). Spark expresses interval ranges by ordering on
+    the epoch and bounding in seconds — identical frame membership to the
+    SQL interval form; RANGE sums are integer millis so frame-order float
+    effects can't exist, and the ROWS sum adds ≤3 doubles in a
+    deterministic order so round(.,6) hash-matches."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp(F.col("ts")))
         .rangeBetween(-3600, Window.currentRow)
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
     )
     e = load(spark, sf_dir, "events")
     v = F.round(F.col("value") * 1000, 0).cast("long")
@@ -929,6 +910,7 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(v).over(w).cast("long").alias("rolling_hour_milli"),
         F.count("*").over(w).cast("long").alias("rolling_hour_events"),
+        F.round(F.sum("value").over(wr), 6).alias("rolling3"),
     )
 
 
