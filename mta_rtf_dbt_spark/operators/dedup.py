@@ -14,7 +14,9 @@ Four families over the ``documents`` table:
 All signature math is pure Column expressions (xxhash64 / array ops inside
 codegen) — no Python UDFs. Scale posture: every pair-finding path goes
 through an equi-join on a bounded key (shingle, band hash) — never a cross
-join; hot shingles can be capped with a frequency filter (noted inline).
+join; the exact-Jaccard path drops hot shingles (document frequency >=
+``max_posting``, default 1000) before its self-join so one corpus-frequent
+shingle can't make candidate generation quadratic.
 """
 
 from __future__ import annotations
@@ -86,11 +88,26 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     )
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over an inverted-index self-join. Scale: shuffles on the
-    shingle key only; at 100 TB add a stop-shingle cap
-    (``.filter(posting_len < K)``) to bound the hottest postings — omitted
-    here because exactness is the point of this baseline."""
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_posting: int | None = 1000
+) -> DataFrame:
+    """Exact Jaccard over an inverted-index self-join.
+
+    Scale: shuffles on the shingle key only — but a corpus-frequent ("hot")
+    shingle makes the posting self-join quadratic in its posting length, so
+    postings with document frequency >= ``max_posting`` are dropped from the
+    index first (stop-shingle cap, on by default). Semantics stay exact over
+    the capped shingle universe: per-doc sizes and intersections are both
+    computed post-cap, so the Jaccard value is internally consistent; a
+    shingle shared by >= max_posting docs carries ~zero similarity signal
+    anyway (it's corpus boilerplate). The cap's document-frequency count is
+    a window over the same ``shingle`` key the self-join shuffles on, so it
+    rides the same exchange. ``max_posting=None`` disables the cap."""
+    if max_posting is not None:
+        from pyspark.sql import Window
+
+        dfreq = F.count("*").over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("__df", dfreq).filter(F.col("__df") < max_posting).drop("__df")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,10 +132,13 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """
     WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
                   FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
+    sh0 AS (SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
            FROM toks WHERE len(arr) >= 3),
+    sh AS (SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+             FROM sh0) WHERE df < 1000),
     cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
     pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -129,7 +149,9 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return jaccard_pairs(shingles(load(spark, sf_dir, "documents"), 3), 0.2)
+    """Exact n-gram Jaccard baseline with the hot-shingle cap on (df < 1000,
+    mirrored in the oracle SQL so parity holds even when the cap fires)."""
+    return jaccard_pairs(shingles(load(spark, sf_dir, "documents"), 3), 0.2, max_posting=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,34 @@ def test_minhash_lsh_vs_exact(spark, docs):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
+
+    # 20 docs that share ONE boilerplate phrase (-> one hot 3-gram shingle
+    # "standard legal disclaimer" in every doc) but are otherwise disjoint,
+    # plus one true near-dup pair (docs 100/101) sharing real content.
+    rows = [
+        (i, f"standard legal disclaimer unique{i}a unique{i}b unique{i}c") for i in range(20)
+    ] + [
+        (100, "the quick brown fox jumps over the lazy dog standard legal disclaimer"),
+        (101, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, 3)
+
+    uncapped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.1, max_posting=None).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(sh, 0.1, max_posting=10).collect()}
+
+    # the boilerplate shingle (df=21 >= 10) is dropped: pairs whose only
+    # overlap was the hot shingle disappear, the true near-dup pair survives
+    assert (100, 101) in capped
+    boiler_only = {(a, b) for (a, b) in uncapped if a < 20 and b < 20}
+    assert boiler_only, "fixture should produce boilerplate-only pairs uncapped"
+    assert not (boiler_only & capped)
+    # cap bounds the posting self-join: no pair in capped that wasn't exact
+    assert capped <= uncapped
+
+
 def test_simhash_recovers_near_dups(spark, docs):
     from mta_rtf_dbt_spark.operators.dedup import (
         jaccard_pairs,
