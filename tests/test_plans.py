@@ -89,3 +89,41 @@ def test_q18_semi_join_on_preagg(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_materialized_model_partition_pruning(spark, mta_models, tmp_path_factory):  # noqa: F811
+    """S4 at scale (metrics_guide.md:385): fact_trips_stops materialized
+    partitioned by service_day_local; a single-day metric scan must prune to
+    that partition (PartitionFilters on the scan, one partition read), not
+    list the whole table."""
+    from mta_rtf_dbt_spark.plans.mta_models import materialize
+
+    path = str(tmp_path_factory.mktemp("mat") / "fact_trips_stops")
+    materialize(mta_models["fact_trips_stops"], path, partition_by=["service_day_local"])
+
+    back = spark.read.parquet(path)
+    days = [r[0] for r in back.select("service_day_local").distinct().collect()]
+    assert days, "materialized table must have at least one service day"
+    one = back.filter(F.col("service_day_local") == days[0])
+    plan = _plan(one)
+    import re
+
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan[:4000]
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan[0])
+    assert pf and "service_day_local" in pf.group(1), scan[0]
+    # the day predicate must be a metadata partition filter, not a data filter
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan[0])
+    assert pushed is None or "service_day_local" not in pushed.group(1), scan[0]
+    # pruning is observable at runtime: the scan's "number of files read"
+    # metric after execution must be below the table's total file count
+    # (the table has one file per service-day partition)
+    if len(days) > 1:
+        one.collect()
+        leaves = one._jdf.queryExecution().executedPlan().collectLeaves()
+        scan_node = leaves.head()
+        files_read = scan_node.metrics().apply("numFiles").value()
+        assert files_read < len(back.inputFiles()), (
+            files_read,
+            len(back.inputFiles()),
+        )
