@@ -152,6 +152,35 @@ def test_ivf_ann_recall_and_exactness(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_nprobe_recall_sweep(spark):
+    """Recall vs brute force must be non-decreasing in nprobe, and probing
+    every list (nprobe = n_lists) must return exactly the brute-force top-k
+    — IVF search is exact within probed lists, so full probing = full scan."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from mta_rtf_dbt_spark.operators.similarity import ivf_fit, ivf_topk
+    from mta_rtf_dbt_spark.sources.registry import load, scoped_persist
+
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = scoped_persist(ivf_fit(emb, n_lists=8, iters=3), "test.ivf.sweep")
+    cent.count()
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in e.queries()["knn_brute_force_cosine"](spark, SF).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, cent, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(ivf & brute) / len(brute))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+
+
 def test_embedding_near_dup_finds_planted_pairs(spark):
     """Planted near-dups (clone + small noise) must surface through the ND
     banding; far pairs must not. Candidate pruning may never cost a true
