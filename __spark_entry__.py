@@ -24,6 +24,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.dedup",
         "mta_rtf_dbt_spark.operators.similarity",
         "mta_rtf_dbt_spark.operators.textops",
+        "mta_rtf_dbt_spark.operators.textprep",
         "mta_rtf_dbt_spark.operators.multimodal",
         "mta_rtf_dbt_spark.streaming.jobs",
         "mta_rtf_dbt_spark.sources.ingest",
@@ -76,6 +77,12 @@ _PRIORITY = [
     "embedding_label_centroids",
     "text_analysis_pack",
     "text_fingerprint_rolling",
+    # -- new in round 2: corpus-prep ops (never driver-checked) --
+    "text_decontaminate",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "pack_sequences",
     "tokenize_vocab_topk",
     "tokenize_encode_oov",
     "multimodal_features",

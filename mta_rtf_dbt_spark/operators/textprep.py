@@ -1,0 +1,382 @@
+"""Training-corpus preparation operators: test-set decontamination,
+repetition scoring, PII redaction, TF-IDF term extraction, and sequence
+packing.
+
+These are the corpus-hygiene stages a large-scale LLM data pipeline runs
+between raw ingestion and tokenization (the reference project stops at BI
+metrics; this module extends the engine toward its 100 TB training-data
+mission — see SCALE.md §textprep):
+
+- **decontaminate** — n-gram containment of held-out docs inside training
+  docs (the standard eval-leakage check). Asymmetric variant of the
+  inverted-index Jaccard join in :mod:`operators.dedup`, same hot-shingle
+  cap, same scale shape: one shuffle on the shingle key.
+- **repetition** — intra-document repeated n-gram ratio (Gopher-style
+  quality filter: boilerplate/spam has high repetition).
+- **pii_scrub** — deterministic regex redaction of emails / phone numbers /
+  IPv4 addresses with per-doc match counts. Patterns restricted to the
+  RE2-compatible subset so the DuckDB oracle evaluates the identical regex.
+- **tfidf_top_terms** — corpus document frequency + per-doc top-k terms by
+  tf·idf. Scores are compared as round(score·1e6) integers (the engine's
+  float-hash discipline for ln()-derived values).
+- **pack_sequences** — assign documents to fixed-capacity training
+  sequences by cumulative token count over a deterministic document order
+  (the concat-then-chunk packing used for pretraining batches). Implemented
+  as a two-phase distributed prefix sum, not a single-partition window.
+
+All Column-expression / built-in-function code; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import text as T
+from mta_rtf_dbt_spark.operators.dedup import shingles
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load, spread
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
+                                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+           FROM toks WHERE len(arr) >= 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — n-gram containment of held-out docs in training docs.
+# ---------------------------------------------------------------------------
+def contamination_pairs(
+    test_sh: DataFrame, train_sh: DataFrame, threshold: float = 0.5,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """(test_doc, train_doc, containment) for every pair where the share of
+    the test doc's distinct shingles also present in the train doc reaches
+    ``threshold``. Containment (not Jaccard): a short eval prompt fully
+    embedded in a long training doc scores 1.0 regardless of the train doc's
+    size — exactly the leakage case dedup's symmetric measure under-scores.
+
+    Scale: identical posting-join shape to dedup's exact baseline — one
+    shuffle on the shingle key, hot shingles (df >= max_posting across both
+    relations) dropped before the join so corpus boilerplate can't go
+    quadratic."""
+    if max_posting is not None:
+        union = test_sh.select("shingle").unionAll(train_sh.select("shingle"))
+        dfreq = union.groupBy("shingle").agg(F.count("*").alias("__df"))
+        keep = dfreq.filter(F.col("__df") < max_posting).select("shingle")
+        test_sh = test_sh.join(keep, "shingle")
+        train_sh = train_sh.join(keep, "shingle")
+    test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
+    common = (
+        test_sh.alias("t")
+        .join(train_sh.alias("r"), F.col("t.shingle") == F.col("r.shingle"))
+        .groupBy(
+            F.col("t.doc_id").alias("test_doc"), F.col("r.doc_id").alias("train_doc")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            test_cnt.select(F.col("doc_id").alias("test_doc"), "n_test"), "test_doc"
+        )
+        .select(
+            "test_doc",
+            "train_doc",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_test"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@q(
+    "text_decontaminate",
+    f"""
+    WITH {_SHINGLE_SQL},
+    capped AS (SELECT doc_id, shingle FROM (
+                 SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+                 FROM sh) WHERE df < 1000),
+    test_sh AS (SELECT * FROM capped WHERE doc_id % 10 = 0),
+    train_sh AS (SELECT * FROM capped WHERE doc_id % 10 <> 0),
+    test_cnt AS (SELECT doc_id, count(*) n_test FROM test_sh GROUP BY 1),
+    common AS (SELECT t.doc_id test_doc, r.doc_id train_doc, count(*) n_common
+               FROM test_sh t JOIN train_sh r ON t.shingle = r.shingle
+               GROUP BY 1, 2)
+    SELECT test_doc, train_doc, n_common,
+           ROUND(n_common * 1.0 / n_test, 6) AS containment
+    FROM common JOIN test_cnt tc ON tc.doc_id = test_doc
+    WHERE n_common * 1.0 / n_test >= 0.5
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Eval-leakage check over documents: held-out set = doc_id % 10 == 0,
+    flag test docs whose distinct 3-gram shingles are >= 50% contained in
+    any training doc. Cap mirrors the oracle (df < 1000 over the combined
+    relation — here the full corpus, since the split partitions it)."""
+    sh = shingles(load(spark, sf_dir, "documents"), 3)
+    test_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    train_sh = sh.filter(F.col("doc_id") % 10 != 0)
+    return contamination_pairs(test_sh, train_sh, 0.5, max_posting=1000)
+
+
+# ---------------------------------------------------------------------------
+# Repetition — repeated n-gram ratio (quality filter).
+# ---------------------------------------------------------------------------
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc repeated n-gram stats over ALL n-grams (not distinct):
+    total count, distinct count, repetition ratio 1 - distinct/total, and
+    the highest single-gram multiplicity. One explode + one hash agg."""
+    docs = spread(docs)
+    toks = T.tokens(T.normalize(F.col("text")))
+    grams = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(T.word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.lit(1) - F.count("*") / F.sum("c"), 6).alias("rep_ratio"),
+        F.max("c").alias("top_gram_count"),
+    )
+
+
+@q(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS gram
+              FROM toks WHERE len(arr) >= 3),
+    per_gram AS (SELECT doc_id, gram, count(*) c FROM grams GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+           ROUND(1 - COUNT(*) * 1.0 / SUM(c), 6) AS rep_ratio,
+           MAX(c) AS top_gram_count
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: high rep_ratio / top_gram_count
+    marks boilerplate and spam before expensive dedup."""
+    return repetition_scores(load(spark, sf_dir, "documents"), 3)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — deterministic regex redaction (RE2-compatible patterns).
+# ---------------------------------------------------------------------------
+PII_PATTERNS = {
+    # RE2-safe subset (no lookaround/backrefs) so Spark (Java regex) and the
+    # DuckDB oracle (RE2) evaluate identical semantics
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones/IPv4s to <KIND> placeholders; count matches per
+    kind per doc. Order matters (emails first — an email contains dots that
+    the ipv4 pattern must not see after redaction)."""
+    c = F.col(text_col)
+    counts = {
+        kind: F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = c
+    for kind in ("email", "phone", "ipv4"):
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return docs.select(
+        "doc_id", *counts.values(), red.alias("clean_text")
+    )
+
+
+_PII_SQL_RED = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{PII_PATTERNS['email']}', '<EMAIL>', 'g'), "
+    f"'{PII_PATTERNS['phone']}', '<PHONE>', 'g'), "
+    f"'{PII_PATTERNS['ipv4']}', '<IPV4>', 'g')"
+)
+
+
+@q(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+           len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+           {_PII_SQL_RED} AS clean_text
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction pass over the corpus (counts + cleaned text). The
+    testdata corpus contains no PII, so the driver check verifies the
+    no-match identity path; planted-PII behavior is unit-tested."""
+    return pii_scrub(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms.
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per doc by tf·idf (idf = ln(N/df), df = docs containing
+    the term). Ranking key is round(tf·idf·1e6) as an integer with a token
+    tiebreak — ln() is IEEE-correctly-rounded on both engines only to ~1ulp,
+    so ranks and outputs use the micro-scaled integer, never the raw float.
+
+    Scale: one explode + two hash aggs + a broadcast of the 1-row corpus
+    count; the per-doc top-k window partitions on doc_id (no global sort)."""
+    docs = spread(docs)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(T.normalize(F.col("text")))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_docs")) * 1e6
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "df_docs", "score_micro", F.col("rnk").alias("rnk"))
+    )
+
+
+@q(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, count(*) tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) df_docs FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) n_docs FROM documents),
+    scored AS (SELECT doc_id, token, tf, df_docs,
+                      CAST(ROUND(tf * ln(n_docs * 1.0 / df_docs) * 1000000) AS BIGINT) AS score_micro
+               FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_micro DESC, token ASC) AS rnk
+               FROM scored)
+    SELECT doc_id, token, tf, df_docs, score_micro, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Characteristic-term extraction per document (tf·idf top-3)."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), 3)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-then-chunk assignment for training batches.
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    docs: DataFrame, max_len: int = 512, bucket_size: int = 256
+) -> DataFrame:
+    """Assign each doc a position in the concatenated token stream (doc_id
+    order) and derive its training-sequence id: seq_id = global_start //
+    max_len (concat-then-chunk packing — docs may straddle a boundary, as
+    in pretraining batch assembly; all outputs are integers, hash-exact).
+
+    Scale: a naive ``SUM OVER (ORDER BY doc_id)`` is a single-partition
+    window. This is the classic two-phase distributed prefix sum instead:
+    phase 1 cumsums within doc_id buckets (parallel windows, one shuffle on
+    the bucket key), phase 2 computes per-bucket offsets with a window over
+    the tiny bucket-totals relation and broadcasts them back."""
+    toks = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") / bucket_size).cast("long").alias("bucket"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn("local_end", F.sum("n_tokens").over(wloc))
+    btot = local.groupBy("bucket").agg(F.max("local_end").alias("btotal"))
+    boff = btot.withColumn(
+        "boffset",
+        F.coalesce(
+            F.sum("btotal").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "boffset")
+    return (
+        local.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("boffset") + F.col("local_end") - F.col("n_tokens")).alias(
+                "global_start"
+            ),
+        )
+        .withColumn("seq_id", (F.col("global_start") / max_len).cast("long"))
+        .withColumn("offset_in_seq", F.col("global_start") % max_len)
+    )
+
+
+@q(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS global_start
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, global_start,
+           CAST(global_start // 512 AS BIGINT) AS seq_id,
+           CAST(global_start % 512 AS BIGINT) AS offset_in_seq
+    FROM pos
+    """,
+)
+def pack_sequences_documents(spark, sf_dir):
+    """Pack the documents corpus into 512-token training sequences. The
+    oracle uses the naive global prefix sum; the engine's two-phase bucket
+    cumsum must produce identical positions."""
+    return pack_sequences(load(spark, sf_dir, "documents"), 512)

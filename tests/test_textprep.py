@@ -1,0 +1,76 @@
+"""Corpus-prep operators: planted-PII redaction, packing invariants,
+decontamination semantics (the behaviors the corpus-level driver check
+can't exercise because the synthetic corpus has no PII / no leakage)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_scrub_planted(spark):
+    from mta_rtf_dbt_spark.operators.textprep import pii_scrub
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or call 212-555-1234 now"),
+        (2, "server at 10.0.255.7 responded; mirror at 192.168.1.1"),
+        (3, "no pii here at all"),
+        (4, "bob@host.org met bob@other.io at 1.2.3.4 phone 987 654 3210"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 0)
+    assert "<EMAIL>" in out[1].clean_text and "<PHONE>" in out[1].clean_text
+    assert "alice" not in out[1].clean_text and "555" not in out[1].clean_text
+
+    assert out[2].n_ipv4 == 2 and out[2].clean_text.count("<IPV4>") == 2
+    assert out[3].clean_text == "no pii here at all"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (2, 1, 1)
+
+
+def test_pack_sequences_invariants(spark):
+    from mta_rtf_dbt_spark.operators.textprep import pack_sequences
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    docs = load(spark, SF, "documents")
+    packed = pack_sequences(docs, max_len=512, bucket_size=16).orderBy("doc_id")
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    # stream positions are a contiguous prefix sum in doc_id order
+    expect_start = 0
+    for r in rows:
+        assert r.global_start == expect_start, (r.doc_id, r.global_start, expect_start)
+        assert r.seq_id == r.global_start // 512
+        assert r.offset_in_seq == r.global_start % 512
+        expect_start += r.n_tokens
+    # bucket phase must not depend on bucket size: same result with a
+    # different bucketing (exercises the two-phase prefix-sum offsets)
+    alt = pack_sequences(docs, max_len=512, bucket_size=7).orderBy("doc_id").collect()
+    assert [tuple(r) for r in alt] == [tuple(r) for r in rows]
+
+
+def test_decontaminate_containment_asymmetry(spark):
+    """A short test doc fully embedded in a long train doc must score
+    containment 1.0 even though its Jaccard vs that doc is low."""
+    from mta_rtf_dbt_spark.operators.dedup import shingles
+    from mta_rtf_dbt_spark.operators.textprep import contamination_pairs
+
+    train_text = " ".join(f"w{i}" for i in range(200)) + " the secret eval answer here"
+    rows = [
+        (10, "the secret eval answer here"),   # test doc, fully contained
+        (11, "totally unrelated fresh tokens"),  # test doc, clean
+        (50, train_text),
+        (51, "other training content entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, 3)
+    test_sh = sh.filter(F.col("doc_id") < 20)
+    train_sh = sh.filter(F.col("doc_id") >= 50)
+    found = {
+        (r.test_doc, r.train_doc): r.containment
+        for r in contamination_pairs(test_sh, train_sh, 0.5).collect()
+    }
+    assert found.get((10, 50)) == 1.0
+    assert not any(t == 11 for t, _ in found)
