@@ -75,6 +75,7 @@ _PRIORITY = [
     "ann_ivf_cosine",
     "embedding_near_dup",
     "embedding_label_centroids",
+    "embedding_quantize_int8",
     "text_analysis_pack",
     "text_fingerprint_rolling",
     # -- new in round 2: corpus-prep ops (never driver-checked) --

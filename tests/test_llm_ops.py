@@ -181,6 +181,31 @@ def test_ivf_nprobe_recall_sweep(spark):
     assert recalls[-1] == 1.0, recalls
 
 
+def test_int8_quantization_reconstruction(spark):
+    """Dequantized vectors (q*scale) must reconstruct every component within
+    scale/2 (the symmetric-quantization bound), and qvals must fit int8."""
+    from pyspark.sql import functions as F
+    from mta_rtf_dbt_spark.operators.similarity import quantize_embeddings_int8
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    emb = load(spark, SF, "embeddings")
+    q8 = quantize_embeddings_int8(emb)
+    joined = emb.join(q8, "vec_id").select("vec_id", "embedding", "scale", "qvec")
+    bad = joined.filter(
+        F.exists(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qvec"),
+                lambda v, q: F.abs(v.cast("double") - q * F.col("scale"))
+                > F.col("scale") / 2 + 1e-12,
+            ),
+            lambda x: x,
+        )
+        | F.exists(F.col("qvec"), lambda q: (q > 127) | (q < -127))
+    )
+    assert bad.count() == 0
+
+
 def test_embedding_near_dup_finds_planted_pairs(spark):
     """Planted near-dups (clone + small noise) must surface through the ND
     banding; far pairs must not. Candidate pruning may never cost a true
