@@ -96,6 +96,7 @@ _PRIORITY = [
     "stream_sessionize",
     "sessionize_batch",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "stream_stateful_running_totals",
     "stream_tws_user_profile",
     "ingest_flatten_roundtrip",

@@ -208,6 +208,54 @@ def stream_stateful(spark, sf_dir):
 
 
 @q(
+    "stream_stream_interval_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+     AND a.event_id < b.event_id
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with an event-time interval condition (each
+    event paired with the same user's events up to 2 minutes later). Both
+    sides carry watermarks so Spark bounds the join state to the interval +
+    watermark horizon — the state-cleanup contract that makes stream-stream
+    joins viable at scale; with the one-shot source nothing is late, so the
+    drained result equals the batch interval join and is fully
+    oracle-checked."""
+    import mta_rtf_dbt_spark.functions.bq as bq
+
+    a = (
+        stream_source(spark, sf_dir, "events")
+        .select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "100 days")
+    )
+    b = (
+        stream_source(spark, sf_dir, "events")
+        .select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", "100 days")
+    )
+    joined = a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("event_a") < F.col("event_b")),
+    ).select(
+        a["user_id"],
+        "event_a",
+        "event_b",
+        bq.timestamp_diff(F.col("ts_b"), F.col("ts_a"), "SECOND").alias("gap_s"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@q(
     "stream_tws_user_profile",
     """
     WITH bt AS (
