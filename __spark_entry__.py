@@ -76,6 +76,7 @@ _PRIORITY = [
     "embedding_near_dup",
     "embedding_label_centroids",
     "embedding_quantize_int8",
+    "ann_int8_rerank",
     "text_analysis_pack",
     "text_fingerprint_rolling",
     # -- new in round 2: corpus-prep ops (never driver-checked) --

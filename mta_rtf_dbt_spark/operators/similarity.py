@@ -436,6 +436,133 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def int8_rerank_topk(
+    vecs: DataFrame, k: int = 5, n_candidates: int = 20, n_queries: int = 5
+) -> DataFrame:
+    """Two-stage ANN: integer-dot scoring over int8-quantized vectors picks
+    n_candidates per query, then exact float cosine reranks to top-k. The
+    quantized pass is the cheap scan (int8 storage, integer multiply-adds —
+    the SIMD-friendly representation a 100 TB corpus is actually stored in);
+    the float vectors are only touched for candidates. qdot and the
+    quantized norms are exact integer sums (order-free, partial-agg-safe);
+    the quantized score is a single fixed-shape IEEE expression over them,
+    compared as round(score·1e6) integers."""
+    q8 = quantize_embeddings_int8(vecs)
+    qq = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x
+    )
+    sided = q8.withColumn("qq", qq)
+    qs = F.broadcast(
+        sided.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("qa"),
+            F.col("qq").alias("qq_a"),
+        )
+    )
+    cs = sided.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("qq").alias("qq_b"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.when((F.col("qq_a") == 0) | (F.col("qq_b") == 0), F.lit(0.0)).otherwise(
+        F.col("qdot") / (F.sqrt(F.col("qq_a")) * F.sqrt(F.col("qq_b")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("q_score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        cs.crossJoin(qs)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdot", qdot)
+        .withColumn("q_score_micro", F.round(score * 1e6).cast("long"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= n_candidates)
+        .select("query_id", "neighbor_id", "q_score_micro")
+    )
+    fv = vecs.select(F.col("vec_id"), F.col("embedding"))
+    rerank = (
+        cands.join(fv.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")), "query_id")
+        .join(fv.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_score_micro",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "q_score_micro", "rank")
+    )
+
+
+@q(
+    "ann_int8_rerank",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, fv, list_max(list_transform(fv, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q8 AS (
+      SELECT vec_id, fv,
+             list_transform(fv, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                                          ELSE CAST(ROUND(x / scale) AS BIGINT) END) AS qvec
+      FROM sc
+    ),
+    sided AS (
+      SELECT vec_id, fv, qvec,
+             CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qq
+      FROM q8
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.fv AS qv, c.fv AS cv,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                                          i -> q.qvec[i] * c.qvec[i])) AS BIGINT) AS qdot,
+             q.qq AS qq_a, c.qq AS qq_b
+      FROM sided q, sided c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             CAST(ROUND(CASE WHEN qq_a = 0 OR qq_b = 0 THEN 0.0
+                             ELSE qdot / (sqrt(qq_a) * sqrt(qq_b)) END * 1e6) AS BIGINT) AS q_score_micro
+      FROM pairs
+    ),
+    cands AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY q_score_micro DESC, neighbor_id ASC) AS crn
+      FROM scored QUALIFY crn <= 20
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, q_score_micro,
+             ROUND({_COS_SQL}, 6) AS sim
+      FROM cands
+    )
+    SELECT query_id, neighbor_id, sim, q_score_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM rr QUALIFY rank <= 5
+    """,
+)
+def ann_int8_rerank(spark, sf_dir):
+    """Quantized-scan + exact-rerank ANN over the embeddings table, fully
+    oracle-checked end to end (quantization, integer dots, micro-scaled
+    quantized scores, float rerank)."""
+    return int8_rerank_topk(load(spark, sf_dir, "embeddings"), k=5, n_candidates=20)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + probed lists.
 # ---------------------------------------------------------------------------

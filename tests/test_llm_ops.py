@@ -206,6 +206,29 @@ def test_int8_quantization_reconstruction(spark):
     assert bad.count() == 0
 
 
+def test_int8_rerank_vs_brute_force(spark):
+    """Quantized-candidate + exact-rerank ANN: every returned sim must match
+    the brute-force exact sim for that pair, and recall@5 must be high (the
+    20-candidate quantized prefilter rarely drops a true top-5 neighbor at
+    int8 precision)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in qs["knn_brute_force_cosine"](spark, SF).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in qs["ann_int8_rerank"](spark, SF).collect()
+    }
+    for pair, sim in rr.items():
+        if pair in brute:
+            assert abs(sim - brute[pair]) < 1e-9
+    recall = sum(1 for p in rr if p in brute) / len(brute)
+    assert recall >= 0.8, recall
+
+
 def test_embedding_near_dup_finds_planted_pairs(spark):
     """Planted near-dups (clone + small noise) must surface through the ND
     banding; far pairs must not. Candidate pruning may never cost a true
