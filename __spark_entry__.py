@@ -85,6 +85,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_tfidf_top_terms",
     "pack_sequences",
+    "chunk_documents",
     "tokenize_vocab_topk",
     "tokenize_encode_oov",
     "multimodal_features",

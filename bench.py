@@ -64,6 +64,11 @@ def main() -> None:
         "sessionize_batch",        # gap-based session windows
         "ingest_flatten_roundtrip",  # nest + dlt-flatten + lineage join
         "dq_report_testdata",      # data-quality validator suite
+        # round-2 additions (first benched in r2 — not in the r1 total)
+        "q8_market_share",         # 8-way snowflake, share-of-total agg
+        "text_decontaminate",      # n-gram containment posting join
+        "pack_sequences",          # two-phase prefix-sum packing
+        "ann_int8_rerank",         # quantized scan + exact rerank
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so

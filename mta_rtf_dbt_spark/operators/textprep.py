@@ -138,12 +138,19 @@ def contamination_pairs(
 def text_decontaminate(spark, sf_dir):
     """Eval-leakage check over documents: held-out set = doc_id % 10 == 0,
     flag test docs whose distinct 3-gram shingles are >= 50% contained in
-    any training doc. Cap mirrors the oracle (df < 1000 over the combined
-    relation — here the full corpus, since the split partitions it)."""
+    any training doc. The hot-shingle cap is applied ONCE on the full
+    shingle relation (a window over the same shingle key, as in
+    jaccard_pairs) before the test/train split — capping inside
+    contamination_pairs would rebuild the shingle relation per side
+    (plan audit showed 14 shuffles vs 6 this way)."""
+    from pyspark.sql import Window
+
     sh = shingles(load(spark, sf_dir, "documents"), 3)
-    test_sh = sh.filter(F.col("doc_id") % 10 == 0)
-    train_sh = sh.filter(F.col("doc_id") % 10 != 0)
-    return contamination_pairs(test_sh, train_sh, 0.5, max_posting=1000)
+    dfreq = F.count("*").over(Window.partitionBy("shingle"))
+    capped = sh.withColumn("__df", dfreq).filter(F.col("__df") < 1000).drop("__df")
+    test_sh = capped.filter(F.col("doc_id") % 10 == 0)
+    train_sh = capped.filter(F.col("doc_id") % 10 != 0)
+    return contamination_pairs(test_sh, train_sh, 0.5, max_posting=None)
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +360,58 @@ def pack_sequences(
         .withColumn("seq_id", (F.col("global_start") / max_len).cast("long"))
         .withColumn("offset_in_seq", F.col("global_start") % max_len)
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 128, stride: int = 64
+) -> DataFrame:
+    """Sliding-window chunking over token positions (size tokens per chunk,
+    stride tokens apart — the overlap-chunking used for long-context
+    training and retrieval indexing). Chunk boundaries are pure integer
+    arithmetic on the per-doc token count: one explode, no shuffle, no
+    tokenized text materialized (downstream slices the token array with
+    the emitted offsets)."""
+    toks = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    n_chunks = F.floor((F.col("n_tokens") - 1) / stride) + 1
+    return (
+        toks.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("chunk_id") * stride + size, F.col("n_tokens"))
+            .cast("long")
+            .alias("end_tok"),
+        )
+    )
+
+
+@q(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(c AS BIGINT) AS chunk_id,
+           CAST(c * 64 AS BIGINT) AS start_tok,
+           CAST(least(c * 64 + 128, n_tokens) AS BIGINT) AS end_tok
+    FROM toks, unnest(generate_series(0, CAST((n_tokens - 1) // 64 AS BIGINT))) AS t(c)
+    WHERE n_tokens > 0
+    """,
+)
+def chunk_documents_entry(spark, sf_dir):
+    """128-token chunks at stride 64 over the documents corpus."""
+    return chunk_documents(load(spark, sf_dir, "documents"), 128, 64)
 
 
 @q(
