@@ -30,6 +30,35 @@ def test_pii_scrub_planted(spark):
     assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (2, 1, 1)
 
 
+def test_pii_scrub_cross_engine_parity(spark, duck, tmp_path):
+    """The driver corpus contains no PII, so its check only proves the
+    no-match identity path. This fixture plants matches and runs the SAME
+    oracle SQL in DuckDB over the same parquet — proving the Java-regex /
+    RE2 dialect parity claim on text that actually matches."""
+    import pandas as pd
+
+    from mta_rtf_dbt_spark.operators.textprep import ORACLE
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or call 212-555-1234 now"),
+        (2, "server at 10.0.255.7 responded; mirror at 192.168.1.1"),
+        (3, "no pii here at all"),
+        (4, "bob@host.org met bob@other.io at 1.2.3.4 phone 987 654 3210"),
+        (5, "edge cases: a@b.co 1.2.3.4.5 999-123-456 x@y.z"),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    from mta_rtf_dbt_spark.operators.textprep import pii_scrub
+
+    out = pii_scrub(spark.read.parquet(path))
+    errs = compare("pii_planted", out, duck, ORACLE["text_pii_scrub"])
+    assert not errs, "\n".join(errs)
+
+
 def test_pack_sequences_invariants(spark):
     from mta_rtf_dbt_spark.operators.textprep import pack_sequences
     from mta_rtf_dbt_spark.sources.registry import load
