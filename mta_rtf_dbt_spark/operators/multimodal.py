@@ -149,11 +149,28 @@ def multimodal_features(spark, sf_dir):
     return extract_features(with_media_column(docs))
 
 
-@q("multimodal_frame_sample")  # rows-only: demonstrates batched sampling plumbing
+@q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(CAST(ceil(n_bytes / 32.0) AS BIGINT) - 1, 0))) AS frame_no
+      FROM m
+    )
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_no * 32 AS BIGINT) AS byte_offset
+    FROM f WHERE frame_no % 4 = 0
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     and emit every 4th — the video-keyframe pattern with deterministic fake
-    frames (Column-only: no UDF needed for byte slicing)."""
+    frames (Column-only: no UDF needed for byte slicing). Frame indices are
+    pure integer math on the payload length, so the entry is fully
+    oracle-checked (upgraded from rows-only in round 2)."""
     media = with_media_column(load(spark, sf_dir, "documents"))
     frame_size = 32
     n_frames = F.ceil(F.col("n_bytes") / frame_size).cast("int")
@@ -164,6 +181,6 @@ def multimodal_frame_sample(spark, sf_dir):
         F.explode(sampled).alias("frame_no"),
     ).select(
         "doc_id",
-        "frame_no",
-        (F.col("frame_no") * frame_size).alias("byte_offset"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        (F.col("frame_no") * frame_size).cast("long").alias("byte_offset"),
     )
