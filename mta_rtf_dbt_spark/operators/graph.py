@@ -100,10 +100,13 @@ def connected_components(
 _CC_SQL = """
 WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
               FROM documents),
-sh AS (SELECT DISTINCT doc_id,
+sh0 AS (SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
        FROM toks WHERE len(arr) >= 3),
+sh AS (SELECT doc_id, shingle FROM (
+         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         FROM sh0) WHERE df < 1000),
 cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
 pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -130,5 +133,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same edges."""
     from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
 
-    edges = jaccard_pairs(shingles(load(spark, sf_dir, "documents"), 3), 0.2)
+    edges = jaccard_pairs(
+        shingles(load(spark, sf_dir, "documents"), 3), 0.2, max_posting=1000
+    )
     return connected_components(edges, "doc_a", "doc_b")
