@@ -126,6 +126,30 @@ SELECT node, MIN(label) AS component FROM rch GROUP BY node
 """
 
 
+def semantic_dedup_canonical(
+    vecs: DataFrame, threshold: float = 0.98, id_col: str = "vec_id"
+) -> DataFrame:
+    """End-to-end semantic dedup: embedding near-dup pairs (LSH-bucketed
+    candidates, exact cosine verify) -> connected components -> one
+    canonical id per cluster. Returns (vec_id, canonical_id, cluster_size);
+    vectors with no near-dup edge are their own canonical (size 1). This is
+    the delete-list generator a training pipeline runs over the embedded
+    corpus: keep rows where vec_id == canonical_id."""
+    from mta_rtf_dbt_spark.operators.similarity import embedding_near_dup_pairs
+
+    edges = embedding_near_dup_pairs(vecs, threshold=threshold)
+    comp = connected_components(edges, "vec_a", "vec_b")
+    ids = vecs.select(F.col(id_col).alias("node"))
+    labeled = ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
+    )
+    sizes = labeled.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "canonical_id").select(
+        id_col, "canonical_id", "cluster_size"
+    )
+
+
 @q("dedup_connected_components", _CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the exact-Jaccard near-dup pairs (>= 0.2) into components.

@@ -206,6 +206,28 @@ def test_int8_quantization_reconstruction(spark):
     assert bad.count() == 0
 
 
+def test_semantic_dedup_canonical_clusters(spark):
+    """Planted transitive cluster (A~B, B~C but A~C only via B) must land in
+    ONE component with the min id canonical; isolated vectors are their own
+    canonical with cluster_size 1."""
+    import random
+
+    from mta_rtf_dbt_spark.operators.graph import semantic_dedup_canonical
+
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    drift1 = [x + rng.gauss(0, 0.015) for x in base]
+    drift2 = [x + rng.gauss(0, 0.015) for x in drift1]
+    rows = [(1, base), (2, drift1), (3, drift2)] + [
+        (10 + i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.canonical_id, r.cluster_size) for r in semantic_dedup_canonical(df, 0.98).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    for i in range(20):
+        assert out[10 + i] == (10 + i, 1)
+
+
 def test_int8_rerank_vs_brute_force(spark):
     """Quantized-candidate + exact-rerank ANN: every returned sim must match
     the brute-force exact sim for that pair, and recall@5 must be high (the
