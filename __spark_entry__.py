@@ -92,6 +92,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "sample_train_test_split",
     "sample_stratified_events",
+    "mix_source_quota",
+    "mix_token_budget",
     # -- round-1 driver-unchecked: streaming / sources / ops --
     "stream_m1_actors_per_minute",
     "stream_first_observation_keys",

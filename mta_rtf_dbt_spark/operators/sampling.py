@@ -110,6 +110,99 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_source_quota(
+    df: DataFrame, id_col: str, group_col: str, quota: int, seed: int = 0
+) -> DataFrame:
+    """Domain-mixing quota: keep at most ``quota`` rows per group, chosen
+    deterministically (rank by LCG hash then id within each group). The
+    standard \"cap any one domain\" rebalancing step before pretraining;
+    membership is reproducible, so the mix can be re-derived at any time.
+    One shuffle on the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        lcg_bucket(F.col(id_col), _M, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= quota)
+        .drop("__r")
+    )
+
+
+def mix_token_budget(
+    df: DataFrame, id_col: str, group_col: str, tokens_col: str, budget: int, seed: int = 0
+) -> DataFrame:
+    """Token-budget mixing: admit rows per group in deterministic (LCG, id)
+    order until the group's cumulative token count reaches ``budget`` (a doc
+    is kept if it STARTS within budget, mirroring concat-then-truncate).
+    This is how per-source token quotas in a pretraining mix are actually
+    specified. Adds ``cum_start`` (tokens admitted before this row)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(lcg_bucket(F.col(id_col), _M, seed).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_start", (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+        )
+        .filter(F.col("cum_start") < budget)
+    )
+
+
+_QUOTA_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY {_lcg_sql("doc_id", 2147483648)} ASC, doc_id ASC) AS r
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE r <= 50
+"""
+
+
+@q("mix_source_quota", _QUOTA_SQL)
+def mix_source_quota_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 50 docs, deterministic membership (oracle-checked
+    doc-by-doc, not just counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return mix_source_quota(docs, "doc_id", "source", 50).select("doc_id", "source")
+
+
+_BUDGET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY {_lcg_sql("doc_id", 2147483648)} ASC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_start
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_start
+FROM cum WHERE cum_start < 2000
+"""
+
+
+@q("mix_token_budget", _BUDGET_SQL)
+def mix_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2000-token budget per source over documents; membership + admission
+    offsets oracle-checked."""
+    from mta_rtf_dbt_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return mix_token_budget(docs, "doc_id", "source", "n_tokens", 2000)
+
+
 _STRAT_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n_sampled,
