@@ -138,45 +138,58 @@ def lsh_signatures(
 ) -> DataFrame:
     """(id, band, band_signature): sign bit per hyperplane, packed per band.
 
-    Shape: posexplode the vectors once, broadcast-join the |planes|x|dim|
-    coefficient table on position, and take the plane dots as ONE hash
-    aggregate over (id, plane) — N nested array-fold Columns per row is
-    interpreted expression eval and measured 10-30x slower (the MinHash
-    lesson, dedup.py). Cost is |rows|·dim·|planes| codegen'd multiply-adds,
-    fully partition-parallel."""
+    Shape: posexplode the vectors once (|rows|·dim rows), broadcast-join a
+    PIVOTED coefficient table (one row per position carrying all |planes|
+    coefficients), and take all plane dots as |planes| integer sums in ONE
+    hash aggregate — the MinHash shape. The earlier tall (pos, plane_id)
+    join pushed |rows|·dim·|planes| rows through the aggregate (measured
+    ~2× slower at sf0.1); this keeps the same multiply count but 1/|planes|
+    of the aggregate traffic. Per-product integerization and the order-free
+    long sums are unchanged, so signatures are bit-identical to the SQL
+    oracle's formulation."""
     spark = df.sparkSession
-    bits_per_band = len(planes) // n_bands
+    n_planes = len(planes)
+    bits_per_band = n_planes // n_bands
+    dim = len(planes[0])
     plane_rows = [
-        (pid, pos + 1, float(pval))
-        for pid, p in enumerate(planes)
-        for pos, pval in enumerate(p)
+        tuple([pos + 1] + [float(planes[i][pos]) for i in range(n_planes)])
+        for pos in range(dim)
     ]
-    pl = spark.createDataFrame(plane_rows, "plane_id int, pos int, pval double")
+    schema = "pos int, " + ", ".join(f"p{i} double" for i in range(n_planes))
+    pl = spark.createDataFrame(plane_rows, schema)
     ve = df.select(
         F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("pos0", "val")
     ).select("vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double"))
     dots = (
         ve.join(F.broadcast(pl), "pos")
-        .groupBy("vid", "plane_id")
+        .groupBy("vid")
         .agg(
-            F.sum(F.round(F.col("val") * F.col("pval") * _DOT_SCALE, 0).cast("long")).alias(
-                "dot_i"
-            )
+            *[
+                F.sum(
+                    F.round(F.col("val") * F.col(f"p{i}") * _DOT_SCALE, 0).cast("long")
+                ).alias(f"d{i}")
+                for i in range(n_planes)
+            ]
         )
     )
+    band_sigs = []
+    for band in range(n_bands):
+        sig = F.lit(0).cast("long")
+        for j in range(bits_per_band):
+            i = band * bits_per_band + j
+            sig = sig + F.when(F.col(f"d{i}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        band_sigs.append(sig.alias(f"b{band}"))
     return (
-        dots.groupBy(
-            "vid", F.floor(F.col("plane_id") / bits_per_band).cast("int").alias("band")
+        dots.select("vid", *band_sigs)
+        .select(
+            "vid",
+            F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias(
+                "band", "band_sig"
+            ),
         )
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot_i") >= 0,
-                    F.expr(f"shiftleft(1L, CAST(plane_id % {bits_per_band} AS INT))"),
-                ).otherwise(F.lit(0))
-            ).alias("band_sig")
-        )
-        .select("vid", "band", "band_sig")
+        .select("vid", F.col("band").cast("int").alias("band"), "band_sig")
     )
 
 
