@@ -94,6 +94,7 @@ _PRIORITY = [
     "sample_stratified_events",
     "mix_source_quota",
     "mix_token_budget",
+    "sample_weighted_topk",
     # -- round-1 driver-unchecked: streaming / sources / ops --
     "stream_m1_actors_per_minute",
     "stream_first_observation_keys",

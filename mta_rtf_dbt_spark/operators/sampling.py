@@ -153,6 +153,51 @@ def mix_token_budget(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): key_i = u_i^(1/w_i) with u_i from the LCG hash;
+    the k largest keys are the sample, giving inclusion probability
+    proportional to weight. Ordering uses ln(u)/w (monotone in the key) as
+    a micro-scaled integer with an id tiebreak — the float-hash discipline —
+    so the chosen set is engine-reproducible. One global top-k
+    (TakeOrdered), no shuffle of the full relation."""
+    u = (lcg_bucket(F.col(id_col), _M, seed) + 0.5) / _M
+    key_micro = F.round(F.log(u) / F.col(weight_col) * 1e6).cast("long")
+    return (
+        df.withColumn("key_micro", key_micro)
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         CAST(ROUND(ln(({_lcg_sql("doc_id", 2147483648, seed=3)} + 0.5) / {_M})
+                    / length(text) * 1000000) AS BIGINT) AS key_micro
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 100
+"""
+
+
+@q("sample_weighted_topk", _WEIGHTED_SQL)
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-doc weighted sample of documents with weight = text length
+    (longer docs proportionally likelier). Membership oracle-checked."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+        )
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_chars", 100, seed=3)
+
+
 _QUOTA_SQL = f"""
 WITH ranked AS (
   SELECT doc_id, source,

@@ -39,3 +39,34 @@ def test_stratified_rate_per_stratum(spark):
     )
     for r in rates.collect():
         assert 0.05 < r.rate < 0.15, (r.event_type, r.rate)
+
+
+def test_weighted_sample_deterministic_and_correct(spark):
+    """Weighted sample membership must be stable under repartitioning and
+    equal a driver-side recomputation of the Efraimidis-Spirakis keys."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mta_rtf_dbt_spark.operators.sampling import _M, weighted_sample_topk
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    docs = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.length("text").cast("long").alias("w"))
+    )
+    got = [r.doc_id for r in weighted_sample_topk(docs, "doc_id", "w", 10, seed=3).collect()]
+    got2 = [
+        r.doc_id
+        for r in weighted_sample_topk(docs.repartition(7), "doc_id", "w", 10, seed=3).collect()
+    ]
+    assert got == got2
+
+    rows = docs.collect()
+    keys = []
+    for r in rows:
+        u = (((r.doc_id * 1103515245 + 12345 + 3) % _M) % _M + 0.5) / _M
+        keys.append((round(math.log(u) / r.w * 1e6), -r.doc_id, r.doc_id))
+    expected = [d for _, _, d in sorted(keys, reverse=True)[:10]]
+    assert got == expected
