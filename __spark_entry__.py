@@ -64,6 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed this round, then one representative per already-green family; the
 # tail is redundant-coverage entries that were all green in round 1.
 _PRIORITY = [
+    # -- round-1 hash fails, fixed this round: MUST re-check whatever the
+    #    driver's check budget is, so they lead the registry --
+    "a678_counts_rates",
+    "m9_analog_completeness",
+    # -- round-1 driver-unchecked metric analogs + changed-this-round --
+    "m3_analog_service_delivered",
+    "m11_analog_latency",
+    "w5_range_interval_frame",
     # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -112,13 +120,6 @@ _PRIORITY = [
     "a_approx_sketches",
     "a_heavy_hitters",
     "udtf_sentence_segments",
-    "m3_analog_service_delivered",
-    "m11_analog_latency",
-    # -- round-1 hash fails, fixed this round: must re-check --
-    "a678_counts_rates",
-    "m9_analog_completeness",
-    # -- changed this round (absorbed w_rolling_frame) --
-    "w5_range_interval_frame",
     # -- representative green coverage per family --
     "q1_pricing_summary",
     "j2_left_broadcast_dims",
