@@ -259,3 +259,50 @@ def test_stream_merge_upsert_multi_batch(spark, split_events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(target).subtract(expected).count() == 0
+
+
+def test_stream_stream_join_across_batches(spark, split_events_dir):
+    """Stream-stream interval join over 3 micro-batches: pairs whose two
+    sides arrive in DIFFERENT batches must still be emitted (both sides'
+    state is retained within the watermark), so the drained result equals
+    the batch interval join regardless of batch boundaries."""
+    import mta_rtf_dbt_spark.functions.bq as bq
+    from mta_rtf_dbt_spark.streaming.head import run_to_memory
+
+    a = (
+        _stream_dir(spark, split_events_dir)
+        .select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "100 days")
+    )
+    b = (
+        _stream_dir(spark, split_events_dir)
+        .select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", "100 days")
+    )
+    joined = a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("event_a") < F.col("event_b")),
+    ).select(a["user_id"], "event_a", "event_b")
+    stream = sorted(map(tuple, run_to_memory(joined, "append").collect()))
+
+    e = spark.read.parquet(split_events_dir)
+    ba = e.select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+    bb = e.select(F.col("user_id").alias("u2"), F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+    batch = sorted(
+        map(
+            tuple,
+            ba.join(
+                bb,
+                (ba["user_id"] == bb["u2"])
+                & (F.col("ts_b") >= F.col("ts_a"))
+                & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTES"))
+                & (F.col("event_a") < F.col("event_b")),
+            )
+            .select("user_id", "event_a", "event_b")
+            .collect(),
+        )
+    )
+    assert stream == batch and len(batch) > 0
