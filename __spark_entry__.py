@@ -98,6 +98,7 @@ _PRIORITY = [
     "tokenize_encode_oov",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_audio_energy",
     "sample_train_test_split",
     "sample_stratified_events",
     "mix_source_quota",

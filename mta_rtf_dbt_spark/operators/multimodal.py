@@ -149,6 +149,60 @@ def multimodal_features(spark, sf_dir):
     return extract_features(with_media_column(docs))
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+AUDIO_FRAME = 256  # samples per analysis frame
+
+
+def audio_frame_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Windowed audio energy over a PCM payload column: interpret the binary
+    payload as int8 samples (the decode stub — a real deployment decodes
+    FLAC/WAV to the same sample array), split into fixed ``frame``-sample
+    windows, and emit each window's integer sum-of-squares. The VAD /
+    silence-trim primitive of an audio pipeline. numpy-vectorized per Arrow
+    batch inside mapInPandas; energies are exact integers so the per-frame
+    values are deterministic and unit-recomputable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, sizes, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+                for fno in range(0, max((len(samples) + frame - 1) // frame, 1)):
+                    w = samples[fno * frame : (fno + 1) * frame]
+                    ids.append(doc_id)
+                    frames.append(fno)
+                    sizes.append(len(w))
+                    energies.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frames, dtype="int32"),
+                    "n_samples": pd.Series(sizes, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+@q("multimodal_audio_energy")  # rows-only: byte-level PCM framing isn't SQL-expressible
+def multimodal_audio_energy(spark, sf_dir):
+    """Frame-energy extraction over synthesized PCM payloads; exact-integer
+    energies are python-recomputed in tests (the driver check is rows-only —
+    DuckDB has no byte-array explode)."""
+    media = with_media_column(load(spark, sf_dir, "documents"))
+    return audio_frame_energy(media)
+
+
 @q(
     "multimodal_frame_sample",
     """

@@ -273,3 +273,30 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     }
     assert {(i, 100 + i) for i in range(10)} <= found
     assert all(b - a == 100 for a, b in found)  # no false pairs among random vecs
+
+
+def test_audio_frame_energy_exact(spark):
+    """Frame energies must equal a python recomputation over the same bytes
+    (int8 interpretation, 256-sample frames, integer sum of squares)."""
+    import numpy as np
+
+    from mta_rtf_dbt_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        audio_frame_energy,
+        with_media_column,
+    )
+
+    rows = [(1, "abc"), (2, "x" * 300), (3, ""), (4, "Δ unicode β" * 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in audio_frame_energy(with_media_column(docs)).collect():
+        out[(r.doc_id, r.frame_no)] = (r.n_samples, r.energy)
+
+    for doc_id, text in rows:
+        payload = text.encode("utf-8")
+        samples = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+        n_frames = max((len(samples) + AUDIO_FRAME - 1) // AUDIO_FRAME, 1)
+        for fno in range(n_frames):
+            w = samples[fno * AUDIO_FRAME : (fno + 1) * AUDIO_FRAME]
+            assert out[(doc_id, fno)] == (len(w), int((w * w).sum()))
+    assert out[(3, 0)] == (0, 0)  # empty payload -> one empty frame
