@@ -127,3 +127,34 @@ def test_materialized_model_partition_pruning(spark, mta_models, tmp_path_factor
             files_read,
             len(back.inputFiles()),
         )
+
+
+def test_new_ops_plan_shapes(spark):
+    """Round-2 operators must keep their designed plan shapes: no cartesian
+    products on data paths, bounded broadcasts, and chunking stays a pure
+    map (zero exchanges)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    chunk = _plan(qs["chunk_documents"](spark, sf))
+    assert "Exchange" not in chunk, chunk[:2000]
+    assert "CartesianProduct" not in chunk
+
+    pack = _plan(qs["pack_sequences"](spark, sf))
+    assert "CartesianProduct" not in pack
+    # two-phase prefix sum: bucket-partitioned window must exist; the only
+    # unpartitioned window runs over the tiny bucket-totals relation
+    assert "Window" in pack
+
+    decon = _plan(qs["text_decontaminate"](spark, sf))
+    assert "CartesianProduct" not in decon
+    assert "BroadcastNestedLoopJoin" not in decon  # posting join is equi, never a loop join
+    # equi-join on the shingle key (SMJ/SHJ at scale; AQE may broadcast at test SF)
+    assert any(j in decon for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    rerank = _plan(qs["ann_int8_rerank"](spark, sf))
+    # quantized scan crossJoin is broadcast-bounded by the 5-query side
+    assert "CartesianProduct" not in rerank
+    assert "BroadcastNestedLoopJoin" in rerank or "BroadcastHashJoin" in rerank
