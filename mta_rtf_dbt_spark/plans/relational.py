@@ -915,6 +915,45 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 extension — value window functions (first/last/nth, IGNORE NULLS).
+# ---------------------------------------------------------------------------
+@q(
+    "w6_value_functions",
+    """
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS fv,
+           last_value(value) OVER w AS lv,
+           nth_value(value, 2) OVER w AS nth2,
+           first_value(CASE WHEN value > 50 THEN value END IGNORE NULLS) OVER w AS first_high
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w6_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full frame, plus
+    the IGNORE NULLS variant (BigQuery's first-non-null idiom). All four
+    evaluate in ONE Window operator (same partitioning+ordering+frame), and
+    the values are copied, not computed — bit-exact across engines with no
+    rounding needed."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    high = F.when(F.col("value") > 50, F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("fv"),
+        F.last("value").over(w).alias("lv"),
+        F.nth_value("value", 2).over(w).alias("nth2"),
+        F.first(high, ignorenulls=True).over(w).alias("first_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.4 extension — GROUPING SETS with grouping_id disambiguation.
 # ---------------------------------------------------------------------------
 @q(
