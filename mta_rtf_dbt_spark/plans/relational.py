@@ -915,6 +915,33 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.4 extension — array aggregation (ARRAY_AGG) with deterministic ordering.
+# ---------------------------------------------------------------------------
+@q(
+    "a_array_agg_sorted",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types_sorted,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+           list_sort(list(DISTINCT event_type))[1] AS first_type
+    FROM events GROUP BY user_id
+    """,
+)
+def a_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(DISTINCT ...) — collect_set's order is partition-dependent,
+    so every emitted array is array_sort'ed (the only way an array-valued
+    aggregate can be hash-compared across engines, and the discipline any
+    deterministic pipeline needs for array outputs)."""
+    e = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        arr.alias("types_sorted"),
+        F.size(arr).alias("n_types"),
+        arr.getItem(0).alias("first_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.5 extension — value window functions (first/last/nth, IGNORE NULLS).
 # ---------------------------------------------------------------------------
 @q(
