@@ -5,17 +5,21 @@ training-data pipeline actually deletes is decided per *cluster*: group all
 transitively-linked near-dups and keep one canonical doc. That grouping is
 connected components.
 
-Implementation: DataFrame-native min-label propagation —
+Two DataFrame-native implementations, identical output:
 
-  label(v) <- min(label(v), min over neighbors' labels)
+- **large-star/small-star** (default): the alternating MapReduce CC
+  algorithm (Kiveris et al. 2014) — edge-set contraction converging in
+  O(log^2 n) rounds independent of graph diameter. The 100 TB default:
+  a pathological chain component costs ~20 rounds, not diameter rounds.
+- **min-label propagation**: label(v) <- min(label, neighbors' labels) to a
+  fixpoint; rounds = diameter. Kept as the cross-check (test_graph.py
+  asserts the two agree on chains/cliques/random graphs).
 
-iterated to a fixpoint. Each round is one undirected-edge join + one hash
-min-aggregate; lineage is cut per round with ``localCheckpoint`` (an
-iterative plan otherwise re-derives every prior round — the classic Spark
-iteration trap). Rounds needed = graph diameter in the worst case
-(large-star/small-star halves that; diameters of near-dup clusters are tiny
-in practice). No driver-side graph state — node labels never leave the
-cluster; the only driver value is the per-round convergence count.
+Each round is join + hash min-aggregate; lineage is cut per round with
+``localCheckpoint`` (an iterative plan otherwise re-derives every prior
+round — the classic Spark iteration trap). No driver-side graph state —
+node labels never leave the cluster; the only driver values are per-round
+convergence counts.
 
 The driver entry is **fully oracle-checked**: min-reachable-id is a
 deterministic labeling, and DuckDB expresses it as a recursive CTE over the
@@ -53,14 +57,27 @@ def q(name: str, sql: str | None = None):
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable via edges.
 
     ``edges`` is undirected (each pair listed once, either orientation).
     Isolated nodes don't appear (no edges -> their component is themselves —
     callers union them back if needed, as the driver entry does).
+
+    ``algorithm="star"`` (default) is the alternating large-star/small-star
+    method — O(log^2 n) rounds independent of graph diameter, the right
+    default at 100 TB where a single long chain would starve label
+    propagation. ``"propagate"`` is plain min-label propagation (rounds =
+    diameter), kept for cross-checking; both produce the identical
+    min-reachable-id labeling (asserted in tests/test_graph.py).
     """
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst, max_iter)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -95,6 +112,83 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _large_star(und: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node a links its strictly-larger neighbors to
+    m = min(N(a) + {a}). und carries both orientations."""
+    mins = und.groupBy("a").agg(F.min("b").alias("mb"))
+    mins = mins.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+    return (
+        und.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge at its larger endpoint a, then link
+    a and all its smaller neighbors to m = min of that neighborhood."""
+    o = edges.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).distinct()
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        o.join(mins, "a")
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round is two (groupBy-min + self-join) passes over the edge set —
+    the same shuffle shape as one propagation round — but the edge set
+    contracts toward a star per component in O(log^2 n) rounds regardless
+    of diameter (a 10^6-node chain converges in ~20 rounds where propagation
+    needs 10^6). Convergence = the oriented edge set reaches a fixpoint,
+    checked exactly (anti-join + count, no probabilistic hash compare).
+    At the fixpoint every non-root node holds exactly one edge to its
+    component's min id; labels read off the edges with no further pass.
+    """
+    und0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und0.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    cur = (
+        und0.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = cur.count()
+    for _ in range(max_iter):
+        und = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        nxt = _small_star(_large_star(und)).localCheckpoint()
+        nxt_count = nxt.count()
+        if nxt_count == prev_count and nxt.join(cur, ["u", "v"], "left_anti").count() == 0:
+            cur = nxt
+            break
+        cur, prev_count = nxt, nxt_count
+    mapping = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return nodes.join(mapping, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
 
 
 _CC_SQL = """

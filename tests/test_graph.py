@@ -24,3 +24,42 @@ def test_cc_long_chain_converges(spark):
     out = {r.node: r.component for r in connected_components(edges, max_iter=40).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 31
+
+
+def test_cc_star_matches_propagate(spark):
+    """Both algorithms produce the identical min-reachable-id labeling on a
+    mix of shapes: chain, clique, star, random pairs, self-loop."""
+    import random
+
+    rng = random.Random(7)
+    edges = (
+        [(i, i + 1) for i in range(20)]                      # chain 0..20
+        + [(a, b) for a in range(30, 35) for b in range(a + 1, 35)]  # clique
+        + [(50, x) for x in range(51, 60)]                   # star
+        + [(rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(40)]
+        + [(200, 200)]                                       # self-loop only
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {r.node: r.component for r in connected_components(df, algorithm="star").collect()}
+    prop = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=40, algorithm="propagate").collect()
+    }
+    assert star == prop
+    assert star[200] == 200  # self-loop node labels itself
+
+
+def test_cc_star_beats_diameter(spark):
+    """A 200-node chain: propagation would need ~200 rounds; the star
+    algorithm converges inside 15."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)], "src long, dst long")
+    from mta_rtf_dbt_spark.operators.graph import connected_components_star
+
+    out = {r.node: r.component for r in connected_components_star(edges, max_iter=15).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 201
+
+
+def test_cc_star_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
