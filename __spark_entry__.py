@@ -30,6 +30,7 @@ def _registries():
         "mta_rtf_dbt_spark.sources.ingest",
         "mta_rtf_dbt_spark.operators.quality",
         "mta_rtf_dbt_spark.operators.merge",
+        "mta_rtf_dbt_spark.operators.incremental",
         "mta_rtf_dbt_spark.operators.scd2",
         "mta_rtf_dbt_spark.operators.asof",
         "mta_rtf_dbt_spark.operators.sketches",
@@ -118,6 +119,7 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
+    "incremental_agg_merge",
     "scd2_history_events",
     "j_asof_latest_order",
     "a_approx_sketches",

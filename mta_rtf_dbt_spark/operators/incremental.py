@@ -1,0 +1,125 @@
+"""Incremental aggregate maintenance — dbt incremental-model semantics for
+aggregates (SURVEY §2.1 S4/S6 extension).
+
+The reference rebuilds every model from scratch per `dbt run`
+(`dbt_project.yml:29-36`; `docs/metrics_guide.md:385` tells production users
+to "materialize and partition" instead). At 100 TB a daily full recompute of
+a per-key aggregate re-reads the entire history; the standard fix is to keep
+a *mergeable partial-aggregate state* table and fold each new batch into it:
+
+    state(k) = (count, sum, min, max)          -- commutative monoid
+    state'   = state  ⊕  aggregate(batch)      -- one groupBy over the batch
+                                               -- + one co-grouped merge
+
+Only COUNT/SUM/MIN/MAX (and anything derivable: AVG, rates) are maintained
+this way; non-mergeable aggregates (MEDIAN, exact COUNT DISTINCT) need
+sketches (operators/sketches.py — HLL/KLL states merge the same way).
+
+Scale posture: the state table is bucketed on the keys, so the per-batch
+merge shuffles only the (small) batch's partial aggregate — broadcast it
+when the key cardinality is low. Equivalence with full recompute is the
+oracle: the driver entry folds the events table in four arbitrary slices and
+must hash-match DuckDB's single-pass aggregate over the whole table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+STATE_COLS = ["n", "sum_v", "min_v", "max_v"]
+
+
+def agg_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Partial-aggregate state for one batch: per-key (count, sum, min, max)
+    over ``value``. This is the map-side combine made explicit — Catalyst
+    already partial-aggregates before the shuffle, so building state costs
+    the same as the aggregate itself."""
+    return df.groupBy(*keys).agg(
+        F.count(value).alias("n"),
+        F.sum(value).alias("sum_v"),
+        F.min(value).alias("min_v"),
+        F.max(value).alias("max_v"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """state ⊕ state: union + one re-aggregate with the monoid ops. Keys
+    present in only one side pass through (count 0 never occurs — agg_state
+    emits only observed keys)."""
+    return a.unionByName(b).groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_agg(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the presentation columns from state. AVG comes out of the
+    monoid (sum/count) — never maintained directly (averages don't merge)."""
+    return state.select(
+        *keys,
+        F.col("n"),
+        F.col("sum_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_v"),
+    )
+
+
+@q(
+    "incremental_agg_merge",
+    """
+    SELECT event_type,
+           count(value_milli)                      AS n,
+           CAST(sum(value_milli) AS BIGINT)        AS sum_v,
+           min(value_milli)                        AS min_v,
+           max(value_milli)                        AS max_v,
+           round(sum(value_milli) * 1.0 / count(value_milli), 6) AS avg_v
+    FROM (SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the events table into the state in four arbitrary batch slices
+    (event_id mod 4) and finalize; the oracle is DuckDB's one-pass aggregate
+    over the whole table — incremental maintenance must be exactly
+    recompute-equivalent. Values as integer millis so SUM is exact."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    state = None
+    for i in range(4):
+        batch = e.filter(F.col("event_id") % 4 == i)
+        bstate = agg_state(batch, ["event_type"], "value_milli")
+        state = bstate if state is None else merge_agg_states(state, bstate, ["event_type"])
+    return finalize_agg(state, ["event_type"])
