@@ -158,3 +158,22 @@ def test_new_ops_plan_shapes(spark):
     # quantized scan crossJoin is broadcast-bounded by the 5-query side
     assert "CartesianProduct" not in rerank
     assert "BroadcastNestedLoopJoin" in rerank or "BroadcastHashJoin" in rerank
+
+
+def test_scd2_and_incremental_plan_shapes(spark):
+    """scd2 reconstruction: both windows share one (user_id) partitioning —
+    exactly one data shuffle. incremental merge: partial-agg union, no
+    cartesian, no per-batch rescan joins."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    scd2 = _plan(qs["scd2_history_events"](spark, sf))
+    assert "CartesianProduct" not in scd2
+    data_shuffles = scd2.count("Exchange") - scd2.count("BroadcastExchange")
+    assert data_shuffles == 1, scd2[:3000]
+
+    inc = _plan(qs["incremental_agg_merge"](spark, sf))
+    assert "CartesianProduct" not in inc
+    assert "Join" not in inc  # state merge is union+agg, never a join

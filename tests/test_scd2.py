@@ -88,3 +88,33 @@ def test_scd2_apply_plan_broadcasts_batch(spark):
     out = scd2_apply_batch(hist, _events(spark, [(1, 2, 2.0)]), ["user_id"], "ts", "value")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_invariants_random(spark):
+    """Seeded random event stream: per key, exactly one current version,
+    intervals chain head-to-tail (valid_to == next valid_from), and the
+    first version starts at the key's earliest event."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(8), i, float(rng.randrange(4))) for i in range(300)]
+    df = spark.createDataFrame(
+        [(k, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v) for k, i, v in rows],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    hist = scd2_from_events(df, ["user_id"], ["ts", "event_id"], "value").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.user_id, []).append(r)
+    firsts = {}
+    for k, i, v in rows:
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+        firsts[k] = min(firsts.get(k, ts), ts)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in versions if r.is_current) == 1
+        assert versions[0].valid_from == firsts[k]
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gaps/overlaps
+            assert a.value != b.value          # every version is a real change
+        assert versions[-1].valid_to is None
