@@ -196,11 +196,23 @@ def lsh_signatures(
 def ann_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """Candidates share >= 1 band signature with the query; exact cosine
-    re-rank of the candidate set only."""
-    qs = lsh_signatures(queries, id_col, vec_col).withColumnRenamed("vid", "query_id")
-    cs = lsh_signatures(spread(corpus), id_col, vec_col).withColumnRenamed("vid", "neighbor_id")
+    re-rank of the candidate set only.
+
+    ``queries_in_corpus``: when every query row also appears in the corpus
+    under the same id (the "search the corpus from within" shape), query
+    signatures are sliced from the corpus signature relation by a broadcast
+    id-join instead of recomputed — halving signature work."""
+    sigs = lsh_signatures(spread(corpus), id_col, vec_col)
+    if queries_in_corpus:
+        sigs = scoped_persist(sigs, "ann_lsh.corpus_sigs")  # feeds both join sides
+        qids = queries.select(F.col(id_col).alias("vid"))
+        qs = sigs.join(F.broadcast(qids), "vid").withColumnRenamed("vid", "query_id")
+    else:
+        qs = lsh_signatures(queries, id_col, vec_col).withColumnRenamed("vid", "query_id")
+    cs = sigs.withColumnRenamed("vid", "neighbor_id")
     cands = (
         F.broadcast(qs)
         .join(cs, ["band", "band_sig"])
@@ -286,7 +298,7 @@ def ann_lsh_cosine(spark, sf_dir):
     embedded in both the Spark plan and the DuckDB SQL, so candidate sets and
     rankings must match exactly."""
     emb = load(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, queries_in_corpus=True)
 
 
 NEAR_DUP_COS = 0.9
