@@ -148,6 +148,8 @@ def ingest_flatten_roundtrip(spark, sf_dir):
     itself."""
     from mta_rtf_dbt_spark.sources.registry import load
 
+    from mta_rtf_dbt_spark.sources.registry import scoped_persist
+
     li = load(spark, sf_dir, "lineitem")
     nested = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.collect_list(
@@ -160,6 +162,9 @@ def ingest_flatten_roundtrip(spark, sf_dir):
             )
         ).alias("items")
     )
+    # parent and child both derive from the nested relation; persist it so
+    # the collect_list aggregate runs once, not once per side of the FK join
+    nested = scoped_persist(nested, "ingest.nested")
     parent, child = flatten_parent_child(nested, "items", ["o_orderkey"], "load_0001")
     return child.join(
         parent.select("_dlt_id", "o_orderkey"),
