@@ -134,6 +134,55 @@ def merge_into(
     return resolve(matched, t_exists, j, keep)
 
 
+def align_schemas(
+    target: DataFrame,
+    source: DataFrame,
+    mode: str = "append_new_columns",
+) -> tuple[DataFrame, DataFrame]:
+    """dbt ``on_schema_change`` for the MERGE path: reconcile drifted
+    schemas before :func:`merge_into` (which requires resolvable columns).
+
+    - ``"ignore"``: source-only columns are dropped; target-only columns
+      null-fill on the source side (dbt default — target schema wins).
+    - ``"append_new_columns"``: source-only columns are ADDED to the target
+      as nulls (existing rows backfill NULL); target keeps columns the
+      source dropped.
+    - ``"sync_all_columns"``: target adopts the source's column set — adds
+      new ones, drops removed ones.
+
+    Always returns both frames with the identical column list (the merged
+    target schema), types taken from whichever side owns the column.
+
+    Caution: after alignment the source carries null-filled stand-ins for
+    target-only columns, so ``merge_into``'s whole-row-upsert default would
+    overwrite those target values with NULL. Pass an ``update_set``
+    restricted to the source's REAL columns (dbt's update semantics).
+    """
+    t_cols = list(target.columns)
+    s_cols = list(source.columns)
+    s_only = [c for c in s_cols if c not in t_cols]
+    if mode == "ignore":
+        out_cols = t_cols
+    elif mode == "append_new_columns":
+        out_cols = t_cols + s_only
+    elif mode == "sync_all_columns":
+        out_cols = [c for c in t_cols if c in s_cols] + s_only
+    else:
+        raise ValueError(f"unknown on_schema_change mode: {mode}")
+
+    def conform(df: DataFrame, other: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        types = {f.name: f.dataType for f in other.schema.fields}
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+                for c in out_cols
+            ]
+        )
+
+    return conform(target, source), conform(source, target)
+
+
 def merge_write(
     spark: SparkSession,
     target_path: str,

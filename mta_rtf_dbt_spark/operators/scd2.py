@@ -79,6 +79,9 @@ def scd2_apply_batch(
     keys: list[str],
     ts_col: str,
     tracked: str,
+    *,
+    full_snapshot: bool = False,
+    snapshot_ts=None,
 ) -> DataFrame:
     """One dbt-snapshot invocation (timestamp strategy): for each key, take
     the batch's latest change; where it differs from the key's current
@@ -87,9 +90,16 @@ def scd2_apply_batch(
     values are ignored (no spurious versions). History's non-current rows
     pass through untouched.
 
+    ``full_snapshot=True`` is dbt's ``invalidate_hard_deletes``: the batch
+    is a complete picture of the source, so any current key ABSENT from it
+    was hard-deleted upstream — its version closes at ``snapshot_ts`` (the
+    snapshot's observation time, required in this mode) with no successor.
+
     Shape: one window over the (small) batch + one key-join against only the
     CURRENT slice of history — at scale, current rows are a partition or a
     bucketed table and the batch broadcasts."""
+    if full_snapshot and snapshot_ts is None:
+        raise ValueError("full_snapshot=True requires snapshot_ts")
     canonical = [*keys, tracked, "valid_from", "valid_to", "is_current"]
     history = history.select(*canonical)
     wb = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
@@ -107,12 +117,21 @@ def scd2_apply_batch(
     superseded = F.col("__chg_val").isNotNull() & F.col("valid_from").isNotNull() & (
         F.col("__chg_val") != F.col(tracked)
     )
+    # ... or hard-deleted: current but missing from a full snapshot
+    deleted = (
+        F.col("valid_from").isNotNull() & F.col("__chg_ts").isNull()
+        if full_snapshot
+        else F.lit(False)
+    )
     kept_current = joined.filter(
-        F.col("valid_from").isNotNull() & ~superseded
+        F.col("valid_from").isNotNull() & ~superseded & ~deleted
     ).select(*history.columns)
     closed_now = (
-        joined.filter(superseded)
-        .withColumn("valid_to", F.col("__chg_ts"))
+        joined.filter(superseded | deleted)
+        .withColumn(
+            "valid_to",
+            F.coalesce(F.col("__chg_ts"), F.lit(snapshot_ts).cast("timestamp")),
+        )
         .withColumn("is_current", F.lit(False))
         .select(*history.columns)
     )

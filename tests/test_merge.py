@@ -84,3 +84,33 @@ def test_merge_write_roundtrip(spark, tmp_path):
         insert_when=~F.col("s._op").isin("SKIP", "D"),
     )
     assert {r.id: (r.tag, r.val) for r in again.collect()} == re_read
+
+
+def test_align_schemas_modes(spark):
+    from mta_rtf_dbt_spark.operators.merge import align_schemas, merge_into
+
+    t = spark.createDataFrame([(1, "a", 10.0)], "id long, tag string, val double")
+    s = spark.createDataFrame([(1, "A", True), (2, "B", False)], "id long, tag string, flag boolean")
+
+    ta, sa = align_schemas(t, s, "ignore")
+    assert ta.columns == sa.columns == ["id", "tag", "val"]
+
+    ta, sa = align_schemas(t, s, "append_new_columns")
+    assert ta.columns == sa.columns == ["id", "tag", "val", "flag"]
+    # existing target rows backfill NULL for the new column; merge end-to-end
+    # with update_set over the source's REAL columns (aligned source carries a
+    # null stand-in for val, which whole-row upsert would clobber)
+    upd = {c: F.col(f"s.{c}") for c in ["tag", "flag"]}
+    out = {
+        r.id: (r.tag, r.val, r.flag)
+        for r in merge_into(ta, sa, on=["id"], update_set=upd).collect()
+    }
+    assert out == {1: ("A", 10.0, True), 2: ("B", None, False)}
+
+    ta, sa = align_schemas(t, s, "sync_all_columns")
+    assert ta.columns == sa.columns == ["id", "tag", "flag"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        align_schemas(t, s, "nope")

@@ -118,3 +118,27 @@ def test_scd2_invariants_random(spark):
             assert a.valid_to == b.valid_from  # contiguous, no gaps/overlaps
             assert a.value != b.value          # every version is a real change
         assert versions[-1].valid_to is None
+
+
+def test_scd2_full_snapshot_hard_deletes(spark):
+    """invalidate_hard_deletes: a current key absent from a full snapshot
+    closes at snapshot_ts; present keys behave as in incremental mode."""
+    from mta_rtf_dbt_spark.operators.scd2 import scd2_apply_batch as apply
+
+    e = _events(spark, [(1, 1, 1.0), (2, 1, 9.0)])
+    hist = scd2_from_events(e, ["user_id"], ["ts", "event_id"], "value")
+    batch = _events(spark, [(1, 4, 5.0)])  # key 2 missing -> hard-deleted
+    out = apply(
+        hist, batch, ["user_id"], "ts", "value",
+        full_snapshot=True, snapshot_ts=_ts(6),
+    )
+    rows = {(r.user_id, r.value): (r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, 1.0): (_ts(1), _ts(4), False),
+        (1, 5.0): (_ts(4), None, True),
+        (2, 9.0): (_ts(1), _ts(6), False),  # closed, no successor
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply(hist, batch, ["user_id"], "ts", "value", full_snapshot=True)
