@@ -69,3 +69,49 @@ def stream_merge_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    history_path: str,
+    keys: list[str],
+    ts_col: str,
+    tracked: str,
+    checkpoint: str,
+):
+    """Streaming SCD2: each micro-batch is one dbt-snapshot invocation
+    against the parquet history table (close superseded versions, append
+    new ones) via :func:`mta_rtf_dbt_spark.operators.scd2.scd2_apply_batch`
+    — stream and batch share ONE implementation of the snapshot semantics.
+
+    Same delivery posture as :func:`stream_merge_upsert`: foreachBatch is
+    at-least-once on retry, and re-applying a batch whose versions already
+    landed changes nothing (the value comparison suppresses spurious
+    versions), so the sink is replay-idempotent. Writes are staged then
+    swapped (parquet has no transactional rewrite; on Delta/Iceberg this
+    would be the engine's own MERGE).
+    Returns the completed StreamingQuery."""
+    from mta_rtf_dbt_spark.operators.scd2 import scd2_apply_batch
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if not batch_df.columns:
+            return
+        hist = spark.read.parquet(history_path)
+        updated = scd2_apply_batch(hist, batch_df, keys, ts_col, tracked)
+        staged = history_path.rstrip("/") + ".__staged__"
+        updated.persist()
+        updated.count()
+        updated.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(history_path)
+        shutil.move(staged, history_path)
+        updated.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
