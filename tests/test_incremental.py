@@ -43,3 +43,29 @@ def test_null_values_do_not_poison_state(spark):
     )
     out = finalize_agg(agg_state(batch, ["k"], "v"), ["k"]).collect()[0]
     assert (out.n, out.sum_v, out.min_v, out.max_v, out.avg_v) == (1, 4, 4, 4, 4.0)
+
+
+def test_hll_state_merge_matches_full(spark):
+    """Sketches are the mergeable state for non-algebraic aggregates: HLL
+    partial sketches unioned across arbitrary slices estimate the same
+    cardinality as the one-pass sketch. (Not byte-identical — the
+    DataSketches union gadget may re-target the HLL representation — but
+    both estimates stay within the lgK=12 error bound of truth.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select((F.col("id") % 700).alias("v"))
+    full = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("est")
+    ).collect()[0].est
+    parts = [
+        df.filter(F.col("id") % 3 == i).agg(
+            F.hll_sketch_agg("v", F.lit(12)).alias("sk")
+        )
+        for i in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = u.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
+    ).collect()[0].est
+    assert abs(full - 700) / 700 < 0.05
+    assert abs(merged - 700) / 700 < 0.05
