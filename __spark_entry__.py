@@ -120,6 +120,7 @@ _PRIORITY = [
     "dq_report_testdata",
     "s6_merge_upsert",
     "incremental_agg_merge",
+    "dedup_keep_list",
     "scd2_history_events",
     "j_asof_latest_order",
     "a_approx_sketches",

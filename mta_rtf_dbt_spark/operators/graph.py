@@ -191,7 +191,7 @@ def connected_components_star(
     )
 
 
-_CC_SQL = """
+_CC_CTES = """
 WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
               FROM documents),
 sh0 AS (SELECT DISTINCT doc_id,
@@ -216,8 +216,19 @@ rch AS (
   UNION
   SELECT u.a, r.label FROM und u JOIN rch r ON r.node = u.b
 )
-SELECT node, MIN(label) AS component FROM rch GROUP BY node
 """
+
+_CC_SQL = _CC_CTES + "SELECT node, MIN(label) AS component FROM rch GROUP BY node"
+
+_KEEP_SQL = (
+    _CC_CTES
+    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+)
 
 
 def semantic_dedup_canonical(
@@ -255,3 +266,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles(load(spark, sf_dir, "documents"), 3), 0.2, max_posting=1000
     )
     return connected_components(edges, "doc_a", "doc_b")
+
+
+def dedup_keep_list_frame(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, keep): the delete-list a dedup pipeline
+    executes. Every doc maps to its cluster's min doc_id (itself when it has
+    no near-dup edge); ``keep`` marks the one canonical doc per cluster.
+    Deleting ``NOT keep`` rows removes every transitive near-dup while
+    keeping exactly one representative."""
+    comp = connected_components(edges, "doc_a", "doc_b")
+    ids = docs.select(F.col(id_col).alias("node"))
+    return ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
+        (F.col("node") == F.coalesce(F.col("component"), F.col("node"))).alias("keep"),
+    )
+
+
+@q("dedup_keep_list", _KEEP_SQL)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text dedup deliverable: exact-Jaccard near-dup pairs
+    (>= 0.2) -> connected components -> one keep per cluster, every corpus
+    doc present. Oracle: the CC recursive CTE extended with the same
+    canonical/keep projection."""
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
+
+    docs = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
+    return dedup_keep_list_frame(docs, edges)
