@@ -38,3 +38,19 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_registry_consistency():
+    """Guard the driver contract: every _PRIORITY name resolves (a typo
+    would silently demote an entry to the tail of the driver's check
+    budget), every oracle belongs to a query, and the priority prefix is
+    emitted first."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    missing = [n for n in e._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert set(osql) <= set(qs)
+    assert list(qs)[: len(e._PRIORITY)] == e._PRIORITY
+    dupes = len(e._PRIORITY) != len(set(e._PRIORITY))
+    assert not dupes
