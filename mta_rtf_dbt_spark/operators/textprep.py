@@ -145,9 +145,15 @@ def text_decontaminate(spark, sf_dir):
     (plan audit showed 14 shuffles vs 6 this way)."""
     from pyspark.sql import Window
 
+    from mta_rtf_dbt_spark.sources.registry import scoped_persist
+
     sh = shingles(load(spark, sf_dir, "documents"), 3)
     dfreq = F.count("*").over(Window.partitionBy("shingle"))
     capped = sh.withColumn("__df", dfreq).filter(F.col("__df") < 1000).drop("__df")
+    # capped feeds three subtrees (test count + both join sides): persist so
+    # the shingle explode + df window run once, not three times
+    capped = scoped_persist(capped, "decon.capped")
+    capped.count()
     test_sh = capped.filter(F.col("doc_id") % 10 == 0)
     train_sh = capped.filter(F.col("doc_id") % 10 != 0)
     return contamination_pairs(test_sh, train_sh, 0.5, max_posting=None)
