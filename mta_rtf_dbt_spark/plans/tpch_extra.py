@@ -221,26 +221,32 @@ _Q18_QTY = 150
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 analog: the IN-subquery becomes a semi-join against the
-    pre-aggregated child (SURVEY J3's pattern at scale — aggregate lineitem
-    to order grain FIRST, so the semi-join input is |orders|-sized, and the
-    same orderkey shuffle feeds both the HAVING agg and the outer join)."""
+    """TPC-H Q18 analog: the IN-subquery becomes a join against the
+    pre-aggregated child (SURVEY J3's pattern at scale). Because the outer
+    query re-aggregates lineitem at the SAME order grain the HAVING
+    subquery already computed, the pre-agg is reused outright: lineitem is
+    scanned and shuffled ONCE, and the filtered (order, sum_qty) relation —
+    |orders|-sized — joins orders + broadcast customer. The textbook plan's
+    second lineitem join/aggregate never happens."""
     li = load(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(_dec(F.col("l_quantity"), 2)).alias("q"))
         .filter(F.col("q") > _Q18_QTY)
-        .select("l_orderkey")
     )
-    orders = load(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi"
-    )
+    orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, "o_orderkey")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
         )
