@@ -69,6 +69,8 @@ def main() -> None:
         "text_decontaminate",      # n-gram containment posting join
         "pack_sequences",          # two-phase prefix-sum packing
         "ann_int8_rerank",         # quantized scan + exact rerank
+        "scd2_history_events",     # SCD2 snapshot reconstruction (2 windows, 1 shuffle)
+        "incremental_agg_merge",   # mergeable partial-agg state fold
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so
