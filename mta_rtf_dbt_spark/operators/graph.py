@@ -180,11 +180,21 @@ def connected_components_star(
             cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
         nxt = _small_star(_large_star(und)).localCheckpoint()
-        nxt_count = nxt.count()
-        if nxt_count == prev_count and nxt.join(cur, ["u", "v"], "left_anti").count() == 0:
-            cur = nxt
+        # one action per round: size + exact set-membership vs the previous
+        # edge set in a single left-join aggregate (both sets are distinct,
+        # so equal size + zero novel edges == fixpoint)
+        stats = (
+            nxt.join(cur.withColumn("__seen", F.lit(1)), ["u", "v"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("novel"),
+            )
+            .first()
+        )
+        converged = stats.n == prev_count and (stats.novel or 0) == 0
+        cur, prev_count = nxt, stats.n
+        if converged:
             break
-        cur, prev_count = nxt, nxt_count
     mapping = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
     return nodes.join(mapping, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
