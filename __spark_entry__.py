@@ -123,9 +123,10 @@ _PRIORITY = [
     "dedup_keep_list",
     "scd2_history_events",
     "j_asof_latest_order",
-    "a_approx_sketches",
     "a_heavy_hitters",
     "udtf_sentence_segments",
+    "a_approx_sketches",
+    "text_compression_ratio",
     # -- representative green coverage per family --
     "q1_pricing_summary",
     "j2_left_broadcast_dims",

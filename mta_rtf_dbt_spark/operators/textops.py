@@ -173,3 +173,54 @@ def text_fingerprint_rolling(spark, sf_dir):
     share it."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint_rolling(F.col("text")).alias("rolling_fp"))
+
+
+def compression_ratios(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Per-doc zlib compression ratio — the RefinedWeb/Gopher-style quality
+    signal (highly repetitive or templated text compresses far below
+    natural prose; near-random text compresses above it). Arrow-batched
+    mapInPandas; bytes counted exactly, ratio emitted as integer
+    parts-per-million so the output is float-free and replay-stable.
+
+    Scale: a pure map over the corpus scan — no shuffle, no state; the
+    zlib call is the per-row cost (C-speed, ~100 MB/s/core), exactly the
+    shape a 100 TB quality-scoring pass wants."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = "doc_id long, n_raw int, n_compressed int, ratio_ppm long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            n_raw = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_raw": pd.Series(n_raw, dtype="int32"),
+                    "n_compressed": pd.Series(n_comp, dtype="int32"),
+                    "ratio_ppm": pd.Series(
+                        [
+                            (c * 1_000_000) // r if r else None
+                            for c, r in zip(n_comp, n_raw)
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    from mta_rtf_dbt_spark.sources.registry import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(batches, schema)
+
+
+@q("text_compression_ratio")  # rows-only: zlib byte counts aren't SQL-expressible
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality scores over documents; byte counts are
+    python-recomputed in tests (driver check is rows-only — DuckDB has no
+    zlib)."""
+    return compression_ratios(load(spark, sf_dir, "documents"))

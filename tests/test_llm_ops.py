@@ -300,3 +300,28 @@ def test_audio_frame_energy_exact(spark):
             w = samples[fno * AUDIO_FRAME : (fno + 1) * AUDIO_FRAME]
             assert out[(doc_id, fno)] == (len(w), int((w * w).sum()))
     assert out[(3, 0)] == (0, 0)  # empty payload -> one empty frame
+
+
+def test_compression_ratio_python_parity(spark):
+    """zlib byte counts from the Arrow path must equal a direct python
+    recompute, and the repetitive-text signal must separate from prose."""
+    import zlib
+
+    from mta_rtf_dbt_spark.operators.textops import compression_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "ab" * 200),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratios(docs).collect()}
+    for did, text in [(1, "the quick brown fox jumps over the lazy dog " * 3), (2, "ab" * 200)]:
+        b = text.encode()
+        assert rows[did].n_raw == len(b)
+        assert rows[did].n_compressed == len(zlib.compress(b, 6))
+        assert rows[did].ratio_ppm == (len(zlib.compress(b, 6)) * 1_000_000) // len(b)
+    assert rows[3].ratio_ppm is None  # empty doc: no ratio, not a crash
+    assert rows[2].ratio_ppm < rows[1].ratio_ppm  # repetition compresses harder
