@@ -91,6 +91,7 @@ _PRIORITY = [
     "text_fingerprint_rolling",
     # -- new in round 2: corpus-prep ops (never driver-checked) --
     "text_decontaminate",
+    "text_dup_spans",
     "text_repetition",
     "text_pii_scrub",
     "text_tfidf_top_terms",

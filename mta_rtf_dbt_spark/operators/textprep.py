@@ -445,3 +445,118 @@ def pack_sequences_documents(spark, sf_dir):
     oracle uses the naive global prefix sum; the engine's two-phase bucket
     cumsum must produce identical positions."""
     return pack_sequences(load(spark, sf_dir, "documents"), 512)
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicated spans — exact substring dedup at token-gram grain.
+# ---------------------------------------------------------------------------
+DUP_GRAM_N = 8
+
+
+def duplicated_spans(docs: DataFrame, n: int = DUP_GRAM_N) -> DataFrame:
+    """Per-doc coverage of text duplicated ACROSS documents (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    substring-dedup signal, here at token n-gram granularity so it's exactly
+    SQL-expressible). A position is duplicated when its n-gram occurs in
+    >= 2 distinct docs; overlapping duplicated grams merge into spans
+    (gaps-and-islands over positions); output is every doc with >= n tokens:
+    (doc_id, n_tokens, dup_spans, dup_tokens, dup_ppm).
+
+    Distinct from text_decontaminate (cross-SPLIT containment) and
+    text_repetition (WITHIN-doc repeats). Integer outputs only — replay- and
+    hash-stable. Scale: one posexplode (|tokens| rows), one gram groupBy,
+    one join back, one per-doc window — all shuffles on high-cardinality
+    keys; the df>=2 gram list is the only state."""
+    from pyspark.sql import Window
+
+    from mta_rtf_dbt_spark.sources.registry import spread
+
+    docs = spread(docs)
+    toks = T.tokens(T.normalize(F.col("text")))
+    base = docs.filter(F.size(toks) >= n).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    d = grams.join(dup_grams, "gram")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = d.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) >= n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "isl_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        (F.max("pos") - F.min("pos") + n).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr("CAST(coalesce(dup_tokens, 0) * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+@q(
+    "text_dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+                  FROM documents),
+    base AS (SELECT doc_id, arr, len(arr) AS n_tokens FROM toks WHERE len(arr) >= {DUP_GRAM_N}),
+    g AS (SELECT doc_id, n_tokens,
+                 unnest(generate_series(1, n_tokens - {DUP_GRAM_N - 1})) AS pos,
+                 unnest(list_transform(generate_series(1, n_tokens - {DUP_GRAM_N - 1}),
+                                       i -> array_to_string(list_slice(arr, i, i + {DUP_GRAM_N - 1}), ' '))) AS gram
+          FROM base),
+    dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, n_tokens, pos FROM g JOIN dupg USING (gram)),
+    isl AS (SELECT doc_id, n_tokens, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w >= {DUP_GRAM_N} THEN 1 ELSE 0 END AS brk
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl2 AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS isl_id FROM isl),
+    spans AS (SELECT doc_id, isl_id, MAX(pos) - MIN(pos) + {DUP_GRAM_N} AS span_tokens
+              FROM isl2 GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+                       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(p.dup_spans, 0) AS dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) * 1000000 // b.n_tokens AS dup_ppm
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span coverage over documents at 8-token grams;
+    the oracle replays the identical gram/island computation."""
+    return duplicated_spans(load(spark, sf_dir, "documents"))

@@ -103,3 +103,28 @@ def test_decontaminate_containment_asymmetry(spark):
     }
     assert found.get((10, 50)) == 1.0
     assert not any(t == 11 for t, _ in found)
+
+
+def test_duplicated_spans_planted(spark):
+    """Two docs share a 10-token run (-> one merged span of overlapping
+    8-grams in each); a third doc shares nothing. Within-doc repetition
+    alone must NOT count (cross-doc means distinct docs)."""
+    from mta_rtf_dbt_spark.operators.textprep import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+            (3, "completely different words here with no overlap at all present today"),
+            (4, "rep rep rep rep rep rep rep rep rep rep rep rep"),  # self-repeat only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicated_spans(docs, 8).collect()}
+    # doc 1: shared run at positions 4..13 -> grams 4..6 -> one span of 10 tokens
+    assert rows[1].dup_spans == 1 and rows[1].dup_tokens == 10
+    assert rows[1].dup_ppm == 10 * 1_000_000 // rows[1].n_tokens
+    assert rows[2].dup_spans == 1 and rows[2].dup_tokens == 10
+    assert rows[3].dup_spans == 0 and rows[3].dup_tokens == 0 and rows[3].dup_ppm == 0
+    assert rows[4].dup_spans == 0  # same-doc repeats are not cross-doc dup
