@@ -78,17 +78,14 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_connected_components",
     "knn_brute_force_cosine",
     "ann_lsh_cosine",
-    "ann_ivf_cosine",
     "embedding_near_dup",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "ann_int8_rerank",
     "text_analysis_pack",
-    "text_fingerprint_rolling",
     # -- new in round 2: corpus-prep ops (never driver-checked) --
     "text_decontaminate",
     "text_dup_spans",
@@ -101,7 +98,6 @@ _PRIORITY = [
     "tokenize_encode_oov",
     "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_audio_energy",
     "sample_train_test_split",
     "sample_stratified_events",
     "mix_source_quota",
@@ -126,6 +122,13 @@ _PRIORITY = [
     "j_asof_latest_order",
     "a_heavy_hitters",
     "udtf_sentence_segments",
+    # -- rows-only spillers: their driver check is the weaker row-count one
+    #    whether or not it runs, so they yield the window to oracle-checked
+    #    first-checks (each has python-recompute or property tests locally) --
+    "dedup_simhash",
+    "ann_ivf_cosine",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
     "a_approx_sketches",
     "text_compression_ratio",
     # -- representative green coverage per family --
