@@ -177,3 +177,25 @@ def test_scd2_and_incremental_plan_shapes(spark):
     inc = _plan(qs["incremental_agg_merge"](spark, sf))
     assert "CartesianProduct" not in inc
     assert "Join" not in inc  # state merge is union+agg, never a join
+
+
+def test_new_text_ops_plan_shapes(spark):
+    """compression: a pure map over the scan (the spread repartition is the
+    only exchange, no joins). dup_spans: per-doc windows only (partitioned),
+    no cartesian products."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+
+    comp = _plan(qs["text_compression_ratio"](spark, sf))
+    assert "Join" not in comp and "CartesianProduct" not in comp
+    assert comp.count("Exchange") - comp.count("BroadcastExchange") <= 1, comp[:2000]
+
+    spans = _plan(qs["text_dup_spans"](spark, sf))
+    assert "CartesianProduct" not in spans
+    # every window is doc-partitioned: no global (empty-partition) window sort
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*partitionBy=\[\]", spans):
+        raise AssertionError(f"unpartitioned window in dup_spans plan: {m.group(0)}")
