@@ -80,15 +80,19 @@ def test_q5_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan  # at test SF everything fits broadcast
 
 
-def test_q18_semi_join_on_preagg(spark):
-    """Q18's HAVING subquery must appear as a (left-)semi join against the
-    aggregated child, not a full join + dedup."""
+def test_q18_single_lineitem_scan(spark):
+    """Q18's HAVING subquery is satisfied by REUSING the outer query's own
+    order-grain pre-aggregate (tpch_extra.q18 docstring): lineitem must be
+    scanned exactly once — the textbook semi-join plan scans it twice — and
+    the customer dimension must come in as a broadcast."""
     import __spark_entry__ as e
 
     df = e.queries()["q18_large_volume_customer"](spark, "/root/testdata/sf0.001")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    final = plan.split("Initial Plan")[0]  # AQE prints final + initial trees
+    assert final.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in final
 
 
 def test_materialized_model_partition_pruning(spark, mta_models, tmp_path_factory):  # noqa: F811
