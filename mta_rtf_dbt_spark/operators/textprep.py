@@ -560,3 +560,105 @@ def text_dup_spans(spark, sf_dir):
     """Cross-doc duplicated-span coverage over documents at 8-token grams;
     the oracle replays the identical gram/island computation."""
     return duplicated_spans(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup — C4-style boilerplate removal, keep-first occurrence.
+# ---------------------------------------------------------------------------
+LINE_TOKENS = 10
+_LINE_KEY_BASE = 100_000  # > max lines/doc; global key = doc_id * base + pos
+
+
+def line_dedup(docs: DataFrame, line_tokens: int = LINE_TOKENS) -> DataFrame:
+    """C4-style line-level dedup: of every occurrence of a line across the
+    corpus, keep only the FIRST (minimum ``doc_id * base + pos`` key) and
+    reconstruct each document from its surviving lines. This is the
+    boilerplate-removal stage of C4 / RefinedWeb — navigation chrome, cookie
+    banners, license headers occur on thousands of pages and are dropped
+    everywhere but their first sighting. The testdata corpus has no newline
+    structure, so a "line" is a fixed non-overlapping window of
+    ``line_tokens`` normalized tokens (the segmenter is the only pluggable
+    piece; a real corpus would split on ``\\n``).
+
+    Output per input doc: (doc_id, n_lines, n_kept, cleaned_text) — all
+    integers/strings, hash-exact. Docs whose every line first occurred
+    elsewhere survive with n_kept = 0 and cleaned_text = ''.
+
+    Scale: one explode (|lines| rows, no shuffle), one groupBy on the line
+    text (the dedup shuffle), one equi-join back on the same key — AQE
+    reuses the exchange — then two doc-grain aggregates. No self-join, so
+    unlike the Jaccard posting join a corpus-hot line costs only its own
+    group's reduce; keep-first is a single ``min`` — no window over the
+    whole corpus."""
+    docs = spread(docs)
+    toks = T.tokens(T.normalize(F.col("text")))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    n_lines = F.floor((F.col("n_tokens") - 1) / line_tokens) + 1
+    keyed = (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), (n_lines - 1).cast("int"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("pos") * line_tokens + 1, line_tokens),
+                " ",
+            ).alias("line"),
+        )
+        .withColumn("key", F.col("doc_id") * _LINE_KEY_BASE + F.col("pos"))
+    )
+    keep = keyed.groupBy("line").agg(F.min("key").alias("keep_key"))
+    kept = keyed.join(keep, "line").filter(F.col("key") == F.col("keep_key"))
+    stats = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    kagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return stats.join(kagg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+@q(
+    "text_line_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                     x -> x <> '') AS arr
+                  FROM documents),
+    base AS (SELECT doc_id, arr, len(arr) AS n_tokens FROM toks WHERE len(arr) > 0),
+    keyed AS (SELECT doc_id, CAST(c AS BIGINT) AS pos,
+                     array_to_string(list_slice(arr, c * {LINE_TOKENS} + 1, c * {LINE_TOKENS} + {LINE_TOKENS}), ' ') AS line,
+                     doc_id * {_LINE_KEY_BASE} + c AS key
+              FROM base, unnest(generate_series(0, CAST((n_tokens - 1) // {LINE_TOKENS} AS BIGINT))) t(c)),
+    keep AS (SELECT line, MIN(key) AS keep_key FROM keyed GROUP BY line),
+    kept AS (SELECT k.doc_id, k.pos, k.line FROM keyed k JOIN keep p
+             ON k.line = p.line AND k.key = p.keep_key),
+    stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM keyed GROUP BY doc_id),
+    kagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    string_agg(line, ' ' ORDER BY pos) AS cleaned_text
+             FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, s.n_lines,
+           COALESCE(g.n_kept, 0) AS n_kept,
+           COALESCE(g.cleaned_text, '') AS cleaned_text
+    FROM stats s LEFT JOIN kagg g USING (doc_id)
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Keep-first line dedup over documents at 10-token line grain; the
+    oracle replays the identical keyed min / reconstruction."""
+    return line_dedup(load(spark, sf_dir, "documents"))

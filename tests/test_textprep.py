@@ -128,3 +128,27 @@ def test_duplicated_spans_planted(spark):
     assert rows[2].dup_spans == 1 and rows[2].dup_tokens == 10
     assert rows[3].dup_spans == 0 and rows[3].dup_tokens == 0 and rows[3].dup_ppm == 0
     assert rows[4].dup_spans == 0  # same-doc repeats are not cross-doc dup
+
+
+def test_line_dedup_keep_first(spark):
+    """Planted boilerplate: the same 10-token line in three docs survives
+    only at its earliest (doc_id, pos) key; unique lines are untouched and
+    reconstruction preserves within-doc line order."""
+    from mta_rtf_dbt_spark.operators.textprep import line_dedup
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    uniq = {d: f"u{d}0 u{d}1 u{d}2 u{d}3 u{d}4 u{d}5 u{d}6 u{d}7 u{d}8 u{d}9" for d in (1, 2, 3)}
+    rows = [
+        (1, f"{uniq[1]} {boiler}"),          # boiler at pos 1: kept (first key)
+        (2, f"{boiler} {uniq[2]}"),          # boiler at pos 0 of doc 2: dropped
+        (3, f"{uniq[3]} {boiler} tail"),     # dropped; short 'tail' line unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+
+    assert (out[1].n_lines, out[1].n_kept) == (2, 2)
+    assert out[1].cleaned_text == f"{uniq[1]} {boiler}"
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert out[2].cleaned_text == uniq[2]
+    assert (out[3].n_lines, out[3].n_kept) == (3, 2)
+    assert out[3].cleaned_text == f"{uniq[3]} tail"
