@@ -30,6 +30,7 @@ def _registries():
         "mta_rtf_dbt_spark.sources.ingest",
         "mta_rtf_dbt_spark.operators.quality",
         "mta_rtf_dbt_spark.operators.merge",
+        "mta_rtf_dbt_spark.operators.shard",
         "mta_rtf_dbt_spark.operators.incremental",
         "mta_rtf_dbt_spark.operators.scd2",
         "mta_rtf_dbt_spark.operators.asof",
