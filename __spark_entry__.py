@@ -40,6 +40,7 @@ def _registries():
         "mta_rtf_dbt_spark.sources.formats",
         "mta_rtf_dbt_spark.operators.pyudtf",
         "mta_rtf_dbt_spark.operators.tokenize",
+        "mta_rtf_dbt_spark.operators.pipeline",
     ]
     out = []
     for m in mods:
@@ -75,6 +76,9 @@ _PRIORITY = [
     "m3_analog_service_delivered",
     "m11_analog_latency",
     "w5_range_interval_frame",
+    # -- new in round 3: end-to-end curation funnel (never driver-checked) --
+    "corpus_curation_pipeline",
+    "corpus_curation_funnel",
     # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -71,6 +71,8 @@ def main() -> None:
         "ann_int8_rerank",         # quantized scan + exact rerank
         "scd2_history_events",     # SCD2 snapshot reconstruction (2 windows, 1 shuffle)
         "incremental_agg_merge",   # mergeable partial-agg state fold
+        # round-3 additions (first benched in r3)
+        "corpus_curation_pipeline",  # full curation funnel -> shard stats
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so
