@@ -41,6 +41,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.pyudtf",
         "mta_rtf_dbt_spark.operators.tokenize",
         "mta_rtf_dbt_spark.operators.pipeline",
+        "mta_rtf_dbt_spark.operators.lm",
     ]
     out = []
     for m in mods:
@@ -79,6 +80,8 @@ _PRIORITY = [
     # -- new in round 3: end-to-end curation funnel (never driver-checked) --
     "corpus_curation_pipeline",
     "corpus_curation_funnel",
+    "corpus_ngram_counts",
+    "lm_unigram_scores",
     # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
     "dedup_ngram_jaccard",

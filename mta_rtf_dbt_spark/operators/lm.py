@@ -1,0 +1,181 @@
+"""Statistical language-model scoring over the corpus: n-gram counts and a
+CCNet-style add-one-smoothed unigram log-probability quality signal.
+
+The CCNet / Common-Crawl pipelines rank documents by LM perplexity against
+an in-domain model and keep the low-perplexity tail; the distributable core
+of that is (1) a corpus token-frequency model and (2) a per-document average
+log-probability under it. Both are pure DataFrame shapes (the reference
+project has no LM stage — this extends the engine's 100 TB training-data
+mission, SCALE.md §textprep):
+
+- **ngram_counts** — corpus-level n-gram frequency table with a
+  deterministic top-k cut (count desc, gram asc). One explode + one hash
+  agg; the standard first artifact of corpus analysis and the input to
+  KenLM-style model training.
+- **lm_unigram_scores** — per-doc mean token log-prob under the add-one
+  smoothed corpus unigram model: p(tok) = (c+1)/(N+V). Per-token log-probs
+  are integerized to round(lp·1e6) BEFORE summing (ln() agrees across
+  engines only to ~1ulp; bigint sums are order-free, so the per-doc result
+  is hash-exact — the tfidf discipline). The frequency model is one shuffle
+  on the token key; the scoring join is token-keyed and AQE broadcasts it
+  when the vocab fits.
+
+Scale: vocab grows ~O(corpus^0.5-0.7) (Heaps' law) — at 100 TB the unigram
+table is millions of rows, far under shuffle scale; the expensive side
+(per-doc token explode) shuffles once on the token key and once on doc_id.
+No collects, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.functions import text as T
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load, spread
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+_ARR_SQL = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, top_k: int | None = 100) -> DataFrame:
+    """(gram, c) corpus n-gram counts; deterministic top-k by
+    (c desc, gram asc) when ``top_k`` is set. All n-grams counted (not
+    per-doc distinct) — these are LM training counts, not shingles."""
+    docs = spread(docs)
+    grams = docs.filter(F.size(T.tokens(T.normalize(F.col("text")))) >= n).select(
+        F.explode(T.word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    if top_k is not None:
+        counts = counts.orderBy(F.col("c").desc(), F.col("gram").asc()).limit(top_k)
+    return counts
+
+
+@q(
+    "corpus_ngram_counts",
+    f"""
+    WITH toks AS (SELECT {_ARR_SQL} AS arr FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(arr)-1, 1)),
+                                   i -> arr[i] || ' ' || arr[i+1])) AS gram
+      FROM toks WHERE len(arr) >= 2
+    )
+    SELECT gram, COUNT(*) AS c FROM grams GROUP BY 1
+    ORDER BY c DESC, gram ASC LIMIT 100
+    """,
+)
+def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams. The (count desc, gram asc) total order makes
+    the cut deterministic, so membership is oracle-checked exactly."""
+    return ngram_counts(load(spark, sf_dir, "documents"), 2, 100)
+
+
+def unigram_model(docs: DataFrame) -> DataFrame:
+    """(token, c, micro_lp): add-one smoothed unigram log-probs, integerized
+    to round(ln((c+1)/(N+V))·1e6). N (total tokens) and V (vocab size) ride
+    a broadcast 1-row crossJoin — the scalar-subquery idiom."""
+    docs = spread(docs)
+    toks = docs.select(
+        F.explode(T.tokens(T.normalize(F.col("text")))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("n_total") + F.col("v_size")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("micro_lp"),
+        )
+    )
+
+
+def lm_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Per-doc (n_tokens, sum_micro_lp, avg_micro_lp) under ``model``
+    ((token, micro_lp)). Tokens absent from the model contribute the
+    smoothed-unseen floor only if the caller appends one — in-corpus scoring
+    (this entry) covers every token by construction. avg is the bigint
+    micro-sum divided once and rounded once: hash-exact."""
+    toks = spread(docs).select(
+        "doc_id", F.explode(T.tokens(T.normalize(F.col("text")))).alias("token")
+    )
+    return (
+        toks.join(model.select("token", "micro_lp"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("micro_lp").cast("long").alias("sum_micro_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_micro_lp",
+            F.round(F.col("sum_micro_lp").cast("double") / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_micro_lp"),
+        )
+    )
+
+
+@q(
+    "lm_unigram_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {_ARR_SQL} AS arr FROM documents),
+    tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM freq),
+    model AS (
+      SELECT token,
+             CAST(ROUND(ln((c + 1.0) / (n_total + v_size)) * 1000000) AS BIGINT) AS micro_lp
+      FROM freq, totals
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(micro_lp) AS BIGINT) AS sum_micro_lp,
+           CAST(ROUND(SUM(micro_lp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_micro_lp
+    FROM tok JOIN model USING (token)
+    GROUP BY doc_id
+    """,
+)
+def lm_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: every document scored by its mean token
+    log-prob under the corpus's own smoothed unigram model (low = fluent /
+    typical, very high magnitude = gibberish or out-of-domain)."""
+    docs = load(spark, sf_dir, "documents")
+    return lm_score(docs, unigram_model(docs))
