@@ -82,6 +82,7 @@ _PRIORITY = [
     "corpus_curation_funnel",
     "corpus_ngram_counts",
     "lm_unigram_scores",
+    "text_winnow_fingerprints",
     # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -7,12 +7,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -173,6 +173,120 @@ def text_fingerprint_rolling(spark, sf_dir):
     share it."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint_rolling(F.col("text")).alias("rolling_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the MOSS fingerprint.
+# ---------------------------------------------------------------------------
+_WIN_K = 5            # char-gram length
+_WIN_W = 4            # winnowing window (guarantees matches >= K+W-1 chars)
+_WIN_B = 257          # polynomial base
+_WIN_M = 2_147_483_647  # hash modulus (2^31 - 1)
+_WIN_ENC = 1 << 21    # (hash, pos) -> single bigint; pos < 2^21 chars
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = _WIN_K, w: int = _WIN_W
+) -> DataFrame:
+    """(doc_id, pos, fp_hash): winnowing-selected k-gram fingerprints — in
+    every window of ``w`` consecutive k-gram hashes, keep the (hash, pos)
+    minimum. Guarantees any substring match of length >= k+w-1 shares at
+    least one fingerprint; fingerprint density ~2/(w+1) of positions.
+
+    Unlike :func:`functions.text.fingerprint_rolling` (xxhash64, engine-
+    specific, rows-only check), the k-gram hash here is an explicit
+    polynomial over character codes mod 2^31-1 — pure integer math any
+    engine reproduces bit-for-bit, so selection is FULLY oracle-checkable.
+    The window min rides a (doc_id)-partitioned frame (no global sort); the
+    explode is ~len(text) rows/doc with k chars each, the same O(text)
+    working set as shingling."""
+    norm = T.normalize(F.col("text"))
+    base = (
+        spread(docs)
+        .select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= k + w - 1)
+        .select(
+            "doc_id",
+            F.length("norm").alias("n_chars"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("norm") - F.lit(k - 1)),
+                    lambda i: F.substr(F.col("norm"), i, F.lit(k)),
+                )
+            ).alias("pos0", "gram"),
+        )
+    )
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        h = h + F.ascii(F.substring(F.col("gram"), j + 1, 1)).cast("long") * (
+            _WIN_B ** (k - 1 - j)
+        )
+    hashed = base.select(
+        "doc_id",
+        "n_chars",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        (h % _WIN_M).alias("fp"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = hashed.select(
+        "doc_id",
+        "n_chars",
+        "pos",
+        F.min(F.col("fp") * _WIN_ENC + F.col("pos")).over(win).alias("sel_key"),
+    ).filter(F.col("pos") <= F.col("n_chars") - F.lit(k + w - 2))  # full windows only
+    return (
+        sel.select("doc_id", "sel_key")
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("sel_key") % _WIN_ENC).alias("pos"),
+            (F.col("sel_key") / _WIN_ENC).cast("long").alias("fp_hash"),
+        )
+    )
+
+
+def _winnow_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    poly = " + ".join(
+        f"ascii(substring(g, {j + 1}, 1)) * {_WIN_B ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return f"""
+    WITH nrm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, length(norm) AS n_chars, i AS pos, substring(norm, i, {k}) AS g
+      FROM nrm, unnest(generate_series(1, length(norm) - {k - 1})) AS t(i)
+      WHERE length(norm) >= {k + w - 1}
+    ),
+    hashed AS (
+      SELECT doc_id, n_chars, pos, ({poly}) % {_WIN_M} AS fp FROM grams
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(fp * {_WIN_ENC} + pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel_key
+      FROM hashed
+      QUALIFY pos <= n_chars - {k + w - 2}
+    )
+    SELECT DISTINCT doc_id,
+           CAST(sel_key % {_WIN_ENC} AS BIGINT) AS pos,
+           CAST(sel_key // {_WIN_ENC} AS BIGINT) AS fp_hash
+    FROM sel
+    """
+
+
+@q("text_winnow_fingerprints", _winnow_sql())
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints over documents (k=5 char-grams, w=4 windows).
+    Fully oracle-checked — selection positions AND hash values must match
+    the SQL replay of the same polynomial hash + window-min exactly."""
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
 
 
 def compression_ratios(docs: DataFrame, level: int = 6) -> DataFrame:

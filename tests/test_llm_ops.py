@@ -325,3 +325,25 @@ def test_compression_ratio_python_parity(spark):
         assert rows[did].ratio_ppm == (len(zlib.compress(b, 6)) * 1_000_000) // len(b)
     assert rows[3].ratio_ppm is None  # empty doc: no ratio, not a crash
     assert rows[2].ratio_ppm < rows[1].ratio_ppm  # repetition compresses harder
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing's coverage guarantee: any common substring of length
+    >= k+w-1 (= 8 chars at k=5, w=4) must yield at least one shared
+    (hash) fingerprint across the two docs; disjoint texts share none."""
+    from mta_rtf_dbt_spark.operators.textops import winnow_fingerprints
+
+    shared = "xylophone quartz banjo"
+    rows = [
+        (1, f"prefix alpha {shared} suffix omega"),
+        (2, f"completely different intro {shared} and a different tail"),
+        (3, "no overlap here at all just plain unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # density sanity: ~2/(w+1) of positions selected, never zero for long docs
+    assert all(len(v) > 0 for v in by_doc.values())
