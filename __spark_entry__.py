@@ -42,6 +42,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.tokenize",
         "mta_rtf_dbt_spark.operators.pipeline",
         "mta_rtf_dbt_spark.operators.lm",
+        "mta_rtf_dbt_spark.operators.layout",
     ]
     out = []
     for m in mods:
@@ -83,6 +84,7 @@ _PRIORITY = [
     "corpus_ngram_counts",
     "lm_unigram_scores",
     "text_winnow_fingerprints",
+    "zorder_values_orders",
     # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
     "dedup_ngram_jaccard",

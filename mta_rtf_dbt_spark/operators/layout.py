@@ -1,0 +1,150 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys and the
+z-ordered write path.
+
+The reference hints at single-column partitioning for its materializations
+(`docs/metrics_guide.md:385` — partition by DATE(feed_ts_utc)); at 100 TB,
+scans that filter on TWO dimensions (customer AND date; part AND supplier)
+need multi-dimensional clustering so parquet min/max stats prune files on
+either predicate — the technique behind Delta OPTIMIZE ZORDER / Hudi
+space-filling curves. The curve math is pure integer arithmetic:
+
+1. normalize each dimension to a ``2^bits`` grid with exact integer
+   division against broadcast min/max scalars (no sampling — deterministic
+   and oracle-reproducible, unlike quantile bucketing);
+2. interleave the two grid coordinates' bits into one Morton key;
+3. ``repartitionByRange(zval)`` + ``sortWithinPartitions(zval)`` at write
+   time: each output file covers one z-range, i.e. an axis-aligned tile of
+   the plane, so BOTH dimensions get tight per-file min/max spans.
+
+Scale: the scalar min/max agg is one broadcast row; the z-key itself is a
+per-row projection (codegen, no shuffle); the write's range partition is
+the one unavoidable shuffle and doubles as the layout. Skew in either
+dimension degrades tile balance, not correctness — AQE's range
+rebalancing handles it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mta_rtf_dbt_spark.session import pin_session
+from mta_rtf_dbt_spark.sources.registry import load
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+BITS = 8  # grid resolution per dimension: 2^8 x 2^8 tiles
+
+
+def interleave_bits(bx: Column, by: Column, bits: int = BITS) -> Column:
+    """Morton key: bit j of ``bx`` lands at position 2j, of ``by`` at 2j+1.
+    An unrolled sum of shift/mask terms — whole-stage codegen folds it into
+    straight-line long arithmetic."""
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = z + F.shiftright(bx, j).bitwiseAND(F.lit(1)) * (1 << (2 * j))
+        z = z + F.shiftright(by, j).bitwiseAND(F.lit(1)) * (1 << (2 * j + 1))
+    return z
+
+
+def _interleave_sql(bx: str, by: str, bits: int = BITS) -> str:
+    terms = [f"(({bx} >> {j}) & 1) * {1 << (2 * j)}" for j in range(bits)]
+    terms += [f"(({by} >> {j}) & 1) * {1 << (2 * j + 1)}" for j in range(bits)]
+    return " + ".join(terms)
+
+
+def zorder_key(
+    df: DataFrame, colx: str, coly: str, bits: int = BITS
+) -> DataFrame:
+    """Add ``bx``/``by`` (grid coordinates) and ``zval`` (Morton key) for two
+    integer-valued columns. Grid cell = exact integer division over the
+    column's [min, max] span (broadcast scalars) — deterministic, engine-
+    independent, no sampling."""
+    n = 1 << bits
+    bounds = df.agg(
+        F.min(colx).cast("long").alias("min_x"),
+        F.max(colx).cast("long").alias("max_x"),
+        F.min(coly).cast("long").alias("min_y"),
+        F.max(coly).cast("long").alias("max_y"),
+    )
+    g = df.crossJoin(F.broadcast(bounds))
+    bx = F.expr(
+        f"CAST(((CAST({colx} AS BIGINT) - min_x) * {n}) div (max_x - min_x + 1) AS BIGINT)"
+    ).alias("bx")
+    by = F.expr(
+        f"CAST(((CAST({coly} AS BIGINT) - min_y) * {n}) div (max_y - min_y + 1) AS BIGINT)"
+    ).alias("by")
+    g = g.select(*df.columns, bx, by)
+    return g.select(*g.columns, interleave_bits(F.col("bx"), F.col("by"), bits).alias("zval"))
+
+
+def write_zordered(
+    df: DataFrame, path: str, colx: str, coly: str, n_files: int = 64
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the z-curve
+    over (colx, coly): range-partition on zval, sort inside each partition,
+    drop the helper columns. Each file's (colx, coly) min/max footer stats
+    then cover one tile — predicates on EITHER column prune files."""
+    keyed = zorder_key(df, colx, coly)
+    (
+        keyed.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("bx", "by", "zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@q(
+    "zorder_values_orders",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_custkey) AS BIGINT) AS min_x, CAST(MAX(o_custkey) AS BIGINT) AS max_x,
+             CAST(MIN(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS min_y,
+             CAST(MAX(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS max_y
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderkey,
+             ((CAST(o_custkey AS BIGINT) - min_x) * {1 << BITS}) // (max_x - min_x + 1) AS bx,
+             ((CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) - min_y)
+               * {1 << BITS}) // (max_y - min_y + 1) AS by
+      FROM orders, bounds
+    )
+    SELECT o_orderkey, bx, by,
+           CAST({_interleave_sql("bx", "by")} AS BIGINT) AS zval
+    FROM g
+    """,
+)
+def zorder_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key for every order over (o_custkey, o_orderdate-as-epoch-day)
+    — the two-predicate scan dimensions of Q3/Q5/Q10. Grid coords AND the
+    interleaved Morton key are oracle-checked bit-for-bit."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("epoch_day"),
+    )
+    return zorder_key(orders, "o_custkey", "epoch_day").select(
+        "o_orderkey", "bx", "by", "zval"
+    )
