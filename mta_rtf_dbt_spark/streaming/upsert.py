@@ -115,3 +115,81 @@ def stream_scd2_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental corpus ingestion with exact dedup against a persisted
+    content-hash index — the streaming form of the training-data pipeline's
+    first hygiene stage: documents arrive continuously, but the corpus must
+    stay duplicate-free WITHOUT rescanning itself per batch.
+
+    Per micro-batch (foreachBatch, availableNow):
+
+    1. hash each doc (sha256 of normalized text — identical key to the
+       batch ``dedup_exact`` operator, so batch and stream agree on what a
+       duplicate is);
+    2. in-batch keep-first (min ``id_col`` per hash);
+    3. anti-join the batch against the hash INDEX (not the corpus: the
+       index is one skinny row per corpus doc, so novelty checking never
+       touches document payloads);
+    4. append the novel docs to ``corpus_path`` and their hashes to
+       ``index_path`` — corpus first, index second, so a crash between the
+       writes can only cause a re-offered (and then index-rejected)
+       duplicate, never a lost document.
+
+    Redelivered batches are filtered to zero by the anti-join (their hashes
+    are already indexed), which upgrades at-least-once delivery to an
+    exactly-once corpus. Scale: the per-batch anti-join shuffles on the
+    hash key; at 100 TB the index should be written bucketed on
+    ``content_hash`` so only the (small) batch side moves — the index scan
+    stays partition-local. Returns the completed StreamingQuery."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.functions import text as T
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if not batch_df.columns:
+            return
+        hashed = batch_df.withColumn(
+            "content_hash", T.fingerprint_sha(F.col(text_col))
+        )
+        w = Window.partitionBy("content_hash").orderBy(id_col)
+        firsts = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        import os
+
+        if os.path.isdir(index_path):
+            idx = spark.read.parquet(index_path).select("content_hash")
+            novel = firsts.join(idx, "content_hash", "left_anti")
+        else:
+            novel = firsts
+        # materialize before writing: the plan reads index_path, which the
+        # second write appends to — persist pins the pre-append snapshot
+        novel.persist()
+        try:
+            if novel.count():
+                novel.drop("content_hash").write.mode("append").parquet(corpus_path)
+                novel.select("content_hash", F.col(id_col)).write.mode(
+                    "append"
+                ).parquet(index_path)
+        finally:
+            novel.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -365,3 +365,51 @@ def test_stream_scd2_snapshot_matches_batch_loop(spark, split_events_dir, tmp_pa
     )
     q2.awaitTermination(120)
     assert sorted(map(tuple, spark.read.parquet(hist_path).collect())) == a
+
+
+def test_stream_dedup_ingest_across_batches(spark, tmp_path):
+    """Docs arrive over 3 micro-batches with duplicates both inside and
+    ACROSS batches; the ingested corpus must equal batch-mode exact dedup
+    (keep-first), and re-offering the whole stream under a fresh checkpoint
+    (worst-case redelivery) must append nothing new."""
+    import os
+    import time
+
+    from mta_rtf_dbt_spark.streaming.upsert import stream_dedup_ingest
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    batches = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        [(4, "ALPHA   beta GAMMA"), (5, "eta theta iota")],      # dup of 1 (normalized)
+        [(6, "delta epsilon zeta"), (7, "kappa lambda mu")],     # dup of 2
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src_dir / f"b{i}.parquet")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).toPandas().to_parquet(
+            p, index=False
+        )
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    stream = _stream_dir(spark, str(src_dir))
+    q = stream_dedup_ingest(
+        spark, stream, corpus, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 5, 7}  # keep-first across the whole stream
+    idx = spark.read.parquet(index)
+    assert idx.count() == 4
+    assert idx.select("content_hash").distinct().count() == 4
+
+    # full redelivery (fresh checkpoint): index rejects every doc
+    q2 = stream_dedup_ingest(
+        spark, _stream_dir(spark, str(src_dir)), corpus, index,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 4
+    assert spark.read.parquet(index).count() == 4
