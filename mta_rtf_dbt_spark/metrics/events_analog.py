@@ -384,24 +384,22 @@ def m10_analog(spark, sf_dir):
     )
     SELECT COUNT(*) AS users_total,
            count_if(high_seen >= 2) AS users_with_2plus,
-           ROUND(CAST(count_if(high_seen >= 2) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS completeness_rate
+           CAST(count_if(high_seen >= 2) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT) AS completeness_ppm
     FROM agg
     """,
 )
 def m9_analog(spark, sf_dir):
     """M9 shape (metrics_guide.md:277-294): two-level agg with COUNTIF +
-    SAFE_DIVIDE. Rate rounded to 6dp both engines (r1 float-hash finding)."""
+    SAFE_DIVIDE. Rate emitted as integer parts-per-million (pure integer
+    division) — rounded doubles hash-diverged two rounds running (r2)."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy("user_id").agg(bq.countif(F.col("value") > 50).alias("high_seen"))
     return agg.agg(
         F.count("*").alias("users_total"),
         bq.countif(F.col("high_seen") >= 2).alias("users_with_2plus"),
-        F.round(
-            bq.safe_divide(
-                bq.countif(F.col("high_seen") >= 2).cast("double"), F.count("*")
-            ),
-            6,
-        ).alias("completeness_rate"),
+        F.expr(
+            "CAST(count_if(high_seen >= 2) * 1000000L div NULLIF(COUNT(*), 0) AS BIGINT)"
+        ).alias("completeness_ppm"),
     )
 
 

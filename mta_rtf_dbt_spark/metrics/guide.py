@@ -153,13 +153,12 @@ def m3_service_delivered(
         .agg(
             F.countDistinct("trip_id").alias("scheduled_trips"),
             F.countDistinct("trip_uid").alias("delivered_trips"),
-            F.round(
-                bq.safe_divide(
-                    F.countDistinct("trip_uid").cast("double"),
-                    F.countDistinct("trip_id"),
-                ),
-                6,
-            ).alias("service_delivered"),
+            # Integer ppm via pure integer division — float ratios are
+            # hash-unstable across engines (r2 driver finding).
+            F.expr(
+                "CAST(count(DISTINCT trip_uid) * 1000000L div "
+                "NULLIF(count(DISTINCT trip_id), 0) AS BIGINT)"
+            ).alias("service_delivered_ppm"),
         )
         .orderBy("route_id", "direction_id")
     )
@@ -314,12 +313,11 @@ def m9_completeness(models) -> DataFrame:
     return agg.agg(
         F.count("*").alias("trips_total"),
         bq.countif(F.col("stops_seen") >= 2).alias("trips_with_start_and_end"),
-        F.round(
-            bq.safe_divide(
-                bq.countif(F.col("stops_seen") >= 2).cast("double"), F.count("*")
-            ),
-            6,
-        ).alias("completeness_rate"),
+        # Integer ppm — see m3_service_delivered (r2 float-hash finding).
+        F.expr(
+            "CAST(count_if(stops_seen >= 2) * 1000000L div "
+            "NULLIF(COUNT(*), 0) AS BIGINT)"
+        ).alias("completeness_ppm"),
     )
 
 

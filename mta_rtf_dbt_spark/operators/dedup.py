@@ -157,13 +157,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # MinHash + LSH — the approximate scale path.
 # ---------------------------------------------------------------------------
+# Portable hash family (engine-independent — DuckDB replays it bit-for-bit,
+# so LSH candidate generation itself is oracle-checkable, same discipline as
+# the winnowing fingerprints in operators/textops.py):
+#   base(shingle) = polynomial over char codes, base 257, mod P (2^31-1)
+#   h_i(shingle)  = (A_i * base + B_i) mod P      (universal family)
+#   band_hash     = polynomial combine of the band's 4 values, base 1e6+3 mod P
+# All intermediates fit in signed 64-bit (P ~ 2^31, A_i < P → products < 2^62),
+# so Spark longs and DuckDB BIGINTs agree exactly.
+MINHASH_P = 2_147_483_647
+MINHASH_CHAR_BASE = 257
+MINHASH_BAND_BASE = 1_000_003
+
+
+def _minhash_seeds(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) family constants via a fixed LCG — generated
+    once in Python and inlined into BOTH the Spark expressions and the DuckDB
+    oracle SQL, so the two engines share the family by construction."""
+    seeds, s = [], 1234567
+    for _ in range(num_hashes):
+        s = (1103515245 * s + 12345) % (1 << 31)
+        a = (s % (MINHASH_P - 1)) + 1
+        s = (1103515245 * s + 12345) % (1 << 31)
+        seeds.append((a, s % MINHASH_P))
+    return seeds
+
+
+def _poly_hash_col(c) -> F.Column:
+    """Char-polynomial hash of a string column mod P — pure Column ops
+    (sequence/transform/aggregate all stay inside codegen; no UDF)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substr(c, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * MINHASH_CHAR_BASE + x) % MINHASH_P,
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
     shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """num_hashes seeded min-hashes over word shingles, as one array column.
-    Hash family: xxhash64(seed_i, shingle).
 
     Shape: explode shingles once, then ONE partial+final hash aggregate with
     num_hashes `min` columns — linear in total shingle count, map-side
@@ -175,17 +214,16 @@ def minhash_signatures(
     ``shingle_rel``: pass an existing (doc_id, shingle) relation to reuse a
     persisted shingle table instead of re-tokenizing the corpus.
 
-    The variable-length shingle string is hashed ONCE to a 64-bit base value;
-    the num_hashes family then re-hashes the fixed-width long (seed, h64).
-    Same minhash guarantees (any universal family over the shingle set
-    works), but the per-row hash cost stops scaling with num_hashes × string
-    length — measured ~2× on the signature stage at sf0.1."""
+    The variable-length shingle string is hashed ONCE to a base value; the
+    num_hashes family is then one multiply-add-mod each over the fixed-width
+    long — per-row cost doesn't scale with num_hashes × string length."""
     sh = shingle_rel if shingle_rel is not None else shingles(docs, shingle_n, text_col, id_col)
-    pre = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
+    pre = sh.select("doc_id", _poly_hash_col(F.col("shingle")).alias("hb"))
+    seeds = _minhash_seeds(num_hashes)
     agg = pre.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h64"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.col("hb") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(seeds)
         ]
     )
     return agg.select(
@@ -196,24 +234,22 @@ def minhash_signatures(
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signature, hash each band, equi-join on (band, hash). A pair
     colliding in >= 1 band is a candidate. Scale: |bands| rows per doc, one
-    shuffle on the band hash — never quadratic."""
+    shuffle on the band hash — never quadratic. Band-hash collisions across
+    unequal bands only add candidates, which exact verification removes —
+    and both engines compute the identical collision set."""
     n = 64  # signature length from minhash_signatures default
     rows_per_band = n // bands
-    # band hash = one multi-arg xxhash64 over the band's raw longs — no
-    # string materialization (the concat_ws(cast-to-string) alternative
-    # dominated the banding stage's cost at sf0.1)
+
+    def band_hash(b: int) -> F.Column:
+        acc = F.col("minhash").getItem(b * rows_per_band)
+        for j in range(1, rows_per_band):
+            acc = (acc * MINHASH_BAND_BASE + F.col("minhash").getItem(b * rows_per_band + j)) % MINHASH_P
+        return acc
+
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("minhash").getItem(b * rows_per_band + j)
-                          for j in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     a = banded.alias("a")
@@ -265,11 +301,64 @@ def minhash_lsh_dedup(
     )
 
 
-@q("dedup_minhash_lsh")  # rows-only: the hash family is engine-specific
+def _minhash_lsh_sql(
+    threshold: float = 0.2, num_hashes: int = 64, bands: int = 16
+) -> str:
+    """DuckDB replay of the FULL MinHash-LSH pipeline — portable polynomial
+    hash family, banding, candidate join, exact-Jaccard verify — so the
+    approximate path is oracle-checked end to end (not rows-only)."""
+    P, CB, BB = MINHASH_P, MINHASH_CHAR_BASE, MINHASH_BAND_BASE
+    rows = num_hashes // bands
+    seed_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_seeds(num_hashes))
+    )
+    bh = "hs[1]"
+    for j in range(2, rows + 1):
+        bh = f"(({bh}) * {BB} + hs[{j}]) % {P}"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
+                                   i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+           FROM toks WHERE len(arr) >= 3),
+    uniq AS (SELECT DISTINCT shingle FROM sh),
+    base AS (SELECT shingle,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(shingle)),
+                                  i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * {CB} + c) % {P}) AS hb
+             FROM uniq),
+    seeds(i, a, b) AS (VALUES {seed_rows}),
+    sig AS (SELECT s.doc_id, seeds.i, MIN((bs.hb * seeds.a + seeds.b) % {P}) AS h
+            FROM sh s JOIN base bs USING (shingle) CROSS JOIN seeds
+            GROUP BY s.doc_id, seeds.i),
+    band_vals AS (SELECT doc_id, i // {rows} AS band, list(h ORDER BY i) AS hs
+                  FROM sig GROUP BY doc_id, i // {rows}),
+    banded AS (SELECT doc_id, band, {bh} AS band_hash FROM band_vals),
+    cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    common AS (SELECT doc_a, doc_b, count(*) common
+               FROM cand
+               JOIN sh sa ON sa.doc_id = doc_a
+               JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE common * 1.0 / (ca.n + cb.n - common) >= {threshold}
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs, exact-verified. No SQL oracle (xxhash64
-    family not reproducible in DuckDB); tests assert precision=1.0 and
-    recall >= 0.9 against the exact Jaccard baseline."""
+    """MinHash-LSH near-dup pairs, exact-verified. Fully oracle-checked since
+    round 3: the hash family is an explicit polynomial mod 2^31-1 (constants
+    shared between engines), so DuckDB reproduces signatures, banding, the
+    candidate set, AND the verified Jaccard values bit-for-bit. Tests still
+    assert precision=1.0 / recall >= 0.9 vs the exact baseline."""
     return minhash_lsh_dedup(load(spark, sf_dir, "documents"))
 
 

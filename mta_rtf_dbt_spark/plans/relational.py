@@ -490,26 +490,29 @@ def a5_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            count_if(value > 50) AS n_high,
-           ROUND(CAST(count_if(value > 50) AS DOUBLE) / COUNT(*), 6) AS high_rate,
-           ROUND(CAST(count_if(value > 98) AS DOUBLE) / NULLIF(count_if(value > 99.5), 0), 6) AS ratio_98_995
+           CAST(count_if(value > 50) * 1000000 // COUNT(*) AS BIGINT) AS high_rate_ppm,
+           CAST(count_if(value > 98) * 1000000 // NULLIF(count_if(value > 99.5), 0) AS BIGINT) AS ratio_98_995_ppm
     FROM events GROUP BY event_type
     """,
 )
 def a678_counts_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 COUNT DISTINCT, A7 COUNTIF, A8 rate idiom, A10 SAFE_DIVIDE
-    (metrics_guide.md:131-133,285,291-292,302-303). Ratio outputs rounded to
-    6dp on both engines — 1-ulp IEEE association differences across engines
-    make raw float ratios hash-unstable (r1 driver finding)."""
+    (metrics_guide.md:131-133,285,291-292,302-303). Ratios emitted as
+    parts-per-million BIGINTs via pure integer division — rounded doubles
+    still hash-diverged two rounds running (r2 driver finding); integer
+    arithmetic is engine-independent by construction."""
     e = load(spark, sf_dir, "events")
     v = F.col("value")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         bq.countif(v > 50).alias("n_high"),
-        F.round(bq.countif(v > 50).cast("double") / F.count("*"), 6).alias("high_rate"),
-        F.round(
-            bq.safe_divide(bq.countif(v > 98).cast("double"), bq.countif(v > 99.5)), 6
-        ).alias("ratio_98_995"),
+        F.expr("CAST(count_if(value > 50) * 1000000L div COUNT(*) AS BIGINT)").alias(
+            "high_rate_ppm"
+        ),
+        F.expr(
+            "CAST(count_if(value > 98) * 1000000L div NULLIF(count_if(value > 99.5), 0) AS BIGINT)"
+        ).alias("ratio_98_995_ppm"),
     )
 
 

@@ -26,6 +26,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # Spark 4 reads zoneless parquet timestamps as TIMESTAMP_NTZ by default;
+    # unix_micros()/withWatermark() reject NTZ. The session tz is pinned UTC,
+    # so reading them as TimestampType is value-identical to DuckDB (D11).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -71,6 +71,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Belt-and-braces vs spark.sql.parquet.inferTimestampNTZ.enabled drift:
+    # zoneless parquet timestamps must surface as TimestampType (session tz is
+    # pinned UTC so the cast is value-preserving); unix_micros()/withWatermark()
+    # reject TIMESTAMP_NTZ outright.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -73,6 +73,13 @@ def stream_source(
     df = reader.parquet(glob_path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Same NTZ guard as the batch registry: watermarks reject TIMESTAMP_NTZ,
+    # and the session tz is pinned UTC so the cast is value-preserving.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -125,7 +125,7 @@ def _m3(models, src):
     SELECT s.route_id, s.direction_id,
            count(DISTINCT s.trip_id) AS scheduled_trips,
            count(DISTINCT a.trip_uid) AS delivered_trips,
-           CAST(count(DISTINCT a.trip_uid) AS DOUBLE) / NULLIF(count(DISTINCT s.trip_id), 0) AS service_delivered
+           CAST(count(DISTINCT a.trip_uid) * 1000000 // NULLIF(count(DISTINCT s.trip_id), 0) AS BIGINT) AS service_delivered_ppm
     FROM wl s LEFT JOIN aiw a USING (route_id, direction_id)
     GROUP BY 1, 2
     """
@@ -243,7 +243,7 @@ def _m9(models, src):
     )
     SELECT COUNT(*) AS trips_total,
            count_if(stops_seen >= 2) AS trips_with_start_and_end,
-           CAST(count_if(stops_seen >= 2) AS DOUBLE) / NULLIF(COUNT(*), 0) AS completeness_rate
+           CAST(count_if(stops_seen >= 2) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT) AS completeness_ppm
     FROM agg
     """
     return m9_completeness(models), sql
