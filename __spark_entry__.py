@@ -20,6 +20,7 @@ def _registries():
     mods = [
         "mta_rtf_dbt_spark.plans.relational",
         "mta_rtf_dbt_spark.plans.tpch_extra",
+        "mta_rtf_dbt_spark.plans.mta_driver",
         "mta_rtf_dbt_spark.metrics.events_analog",
         "mta_rtf_dbt_spark.operators.dedup",
         "mta_rtf_dbt_spark.operators.similarity",

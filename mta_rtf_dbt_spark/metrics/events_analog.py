@@ -383,7 +383,7 @@ def m10_analog(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS users_total,
-           count_if(high_seen >= 2) AS users_with_2plus,
+           CAST(count_if(high_seen >= 2) AS BIGINT) AS users_with_2plus,
            CAST(count_if(high_seen >= 2) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT) AS completeness_ppm
     FROM agg
     """,

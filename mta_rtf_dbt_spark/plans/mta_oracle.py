@@ -1,8 +1,12 @@
 """Independent DuckDB re-implementation of the four MTA models — the oracle
-for tests/test_mta_models.py. Mirrors the engine's determinism policy
-(ANY_VALUE -> MIN, stu_id tiebreakers) and BigQuery null-ordering semantics
-(ASC NULLS FIRST / DESC NULLS LAST — DuckDB defaults differ, so orderings are
-explicit)."""
+for tests/test_mta_models.py AND for the driver-gated entries in
+plans/mta_driver.py. Mirrors the engine's determinism policy (ANY_VALUE ->
+MIN, stu_id tiebreakers) and BigQuery null-ordering semantics (ASC NULLS
+FIRST / DESC NULLS LAST — DuckDB defaults differ, so orderings are explicit).
+
+Each ``*_BODY`` constant is a bare ``WITH ... SELECT`` usable either as a
+``CREATE VIEW`` body (tests) or nested inside a CTE (driver oracle SQL,
+where the source tables are themselves ``read_parquet`` CTEs)."""
 
 UID_TEXT = """
     coalesce(tu.service_date, 'UNK') || '|' ||
@@ -11,8 +15,7 @@ UID_TEXT = """
     coalesce(NULLIF(regexp_extract(tu.rt_trip_id, '^-?\\d{1,8}'), ''), tu.rt_trip_id, 'UNK')
 """
 
-FACT_TRIPS_STOPS = f"""
-CREATE OR REPLACE VIEW o_fact_trips_stops AS
+FACT_TRIPS_STOPS_BODY = f"""
 WITH tu AS (
   SELECT _dlt_id AS tu_id, as_of, feed, trip_update__timestamp,
          trip_update__trip__trip_id AS rt_trip_id,
@@ -66,8 +69,7 @@ SELECT base.*,
 FROM base
 """
 
-FACT_TRIPS = """
-CREATE OR REPLACE VIEW o_fact_trips AS
+FACT_TRIPS_BODY = """
 WITH keyed AS (
   SELECT *,
     row_number() OVER (PARTITION BY trip_uid ORDER BY
@@ -129,8 +131,7 @@ LEFT JOIN stops fs ON fs.stop_id = agg2.first_stop_id
 LEFT JOIN stops ls ON ls.stop_id = agg2.last_stop_id
 """
 
-FACT_DELAYS = """
-CREATE OR REPLACE VIEW o_fact_delays AS
+FACT_DELAYS_BODY = """
 SELECT trip_uid, trip_uid_text, tu_id, stu_id, as_of, feed,
        rt_trip_id, route_id, direction_id, service_date,
        trip_schedule_relationship, trip_headsign,
@@ -147,8 +148,7 @@ WHERE feed = 'main'
   AND (arrival__delay IS NOT NULL OR departure__delay IS NOT NULL)
 """
 
-FACT_ALERTS = """
-CREATE OR REPLACE VIEW o_fact_alerts AS
+FACT_ALERTS_BODY = """
 WITH b AS (
   SELECT feed, entity_id, as_of, _dlt_id AS alert_id, _dlt_load_id
   FROM alerts WHERE feed = 'alerts'
@@ -190,5 +190,10 @@ LEFT JOIN i ON i.alert_id = b.alert_id
 LEFT JOIN stops s ON s.stop_id = i.stop_id
 LEFT JOIN routes r ON r.route_id = i.route_id
 """
+
+FACT_TRIPS_STOPS = f"CREATE OR REPLACE VIEW o_fact_trips_stops AS\n{FACT_TRIPS_STOPS_BODY}"
+FACT_TRIPS = f"CREATE OR REPLACE VIEW o_fact_trips AS\n{FACT_TRIPS_BODY}"
+FACT_DELAYS = f"CREATE OR REPLACE VIEW o_fact_delays AS\n{FACT_DELAYS_BODY}"
+FACT_ALERTS = f"CREATE OR REPLACE VIEW o_fact_alerts AS\n{FACT_ALERTS_BODY}"
 
 MODEL_VIEWS = [FACT_TRIPS_STOPS, FACT_TRIPS, FACT_DELAYS, FACT_ALERTS]

@@ -489,7 +489,7 @@ def a5_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           count_if(value > 50) AS n_high,
+           CAST(count_if(value > 50) AS BIGINT) AS n_high,
            CAST(count_if(value > 50) * 1000000 // COUNT(*) AS BIGINT) AS high_rate_ppm,
            CAST(count_if(value > 98) * 1000000 // NULLIF(count_if(value > 99.5), 0) AS BIGINT) AS ratio_98_995_ppm
     FROM events GROUP BY event_type

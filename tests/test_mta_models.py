@@ -1,6 +1,6 @@
 """Model-layer parity: build the 4 MTA models in Spark over the deterministic
 fixtures and compare full outputs against an independent DuckDB
-re-implementation (tests/mta_oracle_sql.py)."""
+re-implementation (mta_rtf_dbt_spark/plans/mta_oracle.py)."""
 
 from __future__ import annotations
 
@@ -30,7 +30,7 @@ def mta_models(spark, mta_dir):
 def duck_mta(duck, mta_dir):
     from mta_rtf_dbt_spark.sources.fixtures import MTA_TABLES
 
-    from tests.mta_oracle_sql import MODEL_VIEWS
+    from mta_rtf_dbt_spark.plans.mta_oracle import MODEL_VIEWS
 
     duck.execute("SET TimeZone='UTC'")
     for t in MTA_TABLES:
