@@ -62,34 +62,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round 1 the driver oracle-checked only the first 50 of 88 entries in dict
-# order, leaving every LLM-pipeline operator unverified. Entries are emitted
-# in this explicit priority order so a truncated check still covers every
-# operator family: first the round-1-unchecked families (dedup, similarity,
-# text, tokenize, streaming, ingest, merge, as-of, sketches, graph, sampling,
-# formats, UDTF, m3/m11), then the two round-1 hash-fix entries, then entries
-# changed this round, then one representative per already-green family; the
-# tail is redundant-coverage entries that were all green in round 1.
+# The driver oracle-checks the first ~50 entries per round; entries are
+# emitted in explicit priority order so every oracle-backed entry earns a
+# cumulative green driver row across rounds. Rotation policy (r3 verdict
+# item 2): front-load (a) entries fixed or changed this round, (b) entries
+# that have NEVER had a driver row, (c) rows-only entries (they get the
+# weaker count check either way), then (d) round-1-green entries stalest
+# first for periodic re-verification. The tail is entries green in the most
+# recent window (r3) — they yield the window to first-checks.
 _PRIORITY = [
-    # -- round-1 hash fails, fixed this round: MUST re-check whatever the
-    #    driver's check budget is, so they lead the registry --
+    # -- fixed this round (3-round count_if HUGEINT hash fail): re-check first --
     "a678_counts_rates",
     "m9_analog_completeness",
-    # -- round-1 driver-unchecked metric analogs + changed-this-round --
+    # -- new this round: the real MTA model surface (trip_uid chain) --
+    "mta_fact_trips_stops",
+    "mta_fact_trips",
+    "mta_m5_headways",
+    # -- never driver-checked in any round (r3 verdict "What's missing" §2) --
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "scd2_history_events",
+    "incremental_agg_merge",
+    "j_asof_latest_order",
+    "a_heavy_hitters",
+    "udtf_sentence_segments",
+    "w6_value_functions",
+    "a_array_agg_sorted",
+    "text_line_dedup",
+    "dedup_keep_list",
+    "corpus_shard_plan",
+    "shard_write_roundtrip",
+    # -- changed this round: simhash gained a full oracle; jaccard outputs
+    #    moved to integer ppm; funnel audit persists its stages --
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "corpus_curation_pipeline",
+    "corpus_curation_funnel",
+    # -- rows-only (weaker driver check regardless; python-recompute or
+    #    property tests locally) --
+    "ann_ivf_cosine",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- round-1-green only, not re-checked since (stalest first) --
+    "q1_pricing_summary",
+    "p1_project_rename_filter",
+    "p456_predicates_case",
+    "j1_inner_join_agg",
+    "j2_left_broadcast_dims",
+    "j3_join_preagg_child",
+    "j4_dim_double_alias_star",
+    "j5_j7_using_cast_key",
+    "j6_banded_range_join",
+    "a3_any_value_det",
+    "a5_argmin_argmax",
+    "a9_percentiles",
+    "w2_dedup_latest_per_user",
+    "w3_lag_headway",
+    "o1_topk_orders",
+    "set_ops",
+    "s7_inline_unnest",
+    "f_string_hash_pack",
+    "f_datetime_pack",
+    "f_gtfs_clock_overflow",
+    "j_semi_anti",
+    "a_rollup",
+    "a_grouping_sets",
+    "a_pivot_status_by_priority",
+    "a_unpivot_measures",
+    "w4_rank_pack",
+    "f_json_map_pack",
+    "f_map_construct_explode",
+    # -- r1-green metric analogs --
+    "m1_analog_actors_per_minute",
+    "m2_analog_5min_buckets",
+    "m4_analog_terminal_otp",
+    "m5_analog_headways",
+    "m6_analog_dwell",
+    "m7_analog_run_time",
+    "m8_analog_excess_delay",
+    "m10_analog_added_share",
+    "m12_analog_wait_assessment",
+    # -- r1-green TPC-H spread --
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    # -- green in the r3 window (most recently verified — tail) --
     "m3_analog_service_delivered",
     "m11_analog_latency",
     "w5_range_interval_frame",
-    # -- new in round 3: end-to-end curation funnel (never driver-checked) --
-    "corpus_curation_pipeline",
-    "corpus_curation_funnel",
     "corpus_ngram_counts",
     "lm_unigram_scores",
     "text_winnow_fingerprints",
     "zorder_values_orders",
-    # -- round-1 driver-unchecked: LLM-pipeline north star --
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_connected_components",
     "knn_brute_force_cosine",
     "ann_lsh_cosine",
@@ -98,7 +175,6 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "ann_int8_rerank",
     "text_analysis_pack",
-    # -- new in round 2: corpus-prep ops (never driver-checked) --
     "text_decontaminate",
     "text_dup_spans",
     "text_repetition",
@@ -115,7 +191,6 @@ _PRIORITY = [
     "mix_source_quota",
     "mix_token_budget",
     "sample_weighted_topk",
-    # -- round-1 driver-unchecked: streaming / sources / ops --
     "stream_m1_actors_per_minute",
     "stream_first_observation_keys",
     "stream_sessionize",
@@ -128,34 +203,6 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
-    "incremental_agg_merge",
-    "dedup_keep_list",
-    "scd2_history_events",
-    "j_asof_latest_order",
-    "a_heavy_hitters",
-    "udtf_sentence_segments",
-    # -- rows-only spillers: their driver check is the weaker row-count one
-    #    whether or not it runs, so they yield the window to oracle-checked
-    #    first-checks (each has python-recompute or property tests locally) --
-    "dedup_simhash",
-    "ann_ivf_cosine",
-    "text_fingerprint_rolling",
-    "multimodal_audio_energy",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- representative green coverage per family --
-    "q1_pricing_summary",
-    "j2_left_broadcast_dims",
-    "j6_banded_range_join",
-    "a5_argmin_argmax",
-    "a9_percentiles",
-    "w2_dedup_latest_per_user",
-    "m1_analog_actors_per_minute",
-    "m4_analog_terminal_otp",
-    "m5_analog_headways",
-    "f_datetime_pack",
-    "f_gtfs_clock_overflow",
-    "q5_local_supplier_volume",
 ]
 
 
