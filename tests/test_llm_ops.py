@@ -25,18 +25,18 @@ def test_minhash_lsh_vs_exact(spark, docs):
     )
 
     exact = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_ppm
         for r in jaccard_pairs(shingles(docs, 3), 0.2).collect()
     }
     lsh = {
-        (r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_dedup(docs, 0.2).collect()
+        (r.doc_a, r.doc_b): r.jaccard_ppm for r in minhash_lsh_dedup(docs, 0.2).collect()
     }
     # precision 1.0: every LSH pair is exact-verified with identical jaccard
     for pair, jac in lsh.items():
-        assert pair in exact and abs(exact[pair] - jac) < 1e-9
+        assert pair in exact and exact[pair] == jac
     # recall: 16 bands x 4 rows -> P(detect | j=0.2) ~ 1-(1-0.2^4)^16 is low,
     # but planted near-dups are j>=0.8 where P ~ 1. Require full recall there.
-    high = {p for p, j in exact.items() if j >= 0.5}
+    high = {p for p, j in exact.items() if j >= 500_000}
     missed = high - set(lsh)
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
