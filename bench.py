@@ -73,6 +73,8 @@ def main() -> None:
         "incremental_agg_merge",   # mergeable partial-agg state fold
         # round-3 additions (first benched in r3)
         "corpus_curation_pipeline",  # full curation funnel -> shard stats
+        # round-4 additions (first benched in r4)
+        "text_line_dedup",         # C4-style cross-doc line dedup
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so
@@ -101,6 +103,81 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # --- per-stage attribution for the composite heavyweights (r3 verdict
+    # items 4/8: the fixed-overhead-vs-throughput split needs numbers). Each
+    # stage is persisted then counted in dependency order, so a stage's
+    # timing is its own incremental cost — downstream counts reuse the
+    # materialized prefix via Spark's canonical-subtree cache matching.
+    # Untimed relative to the headline suite (runs after, own section).
+    stage_times: dict[str, dict[str, float]] = {}
+
+    def timed(d: dict[str, float], key: str, action) -> None:
+        t0 = time.monotonic()
+        action()
+        d[key] = round(time.monotonic() - t0, 3)
+
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.operators.dedup import minhash_lsh_stages
+    from mta_rtf_dbt_spark.operators.pipeline import curate
+    from mta_rtf_dbt_spark.operators.shard import shard_plan
+    from mta_rtf_dbt_spark.operators.similarity import ann_lsh_topk
+    from mta_rtf_dbt_spark.sources.registry import scoped_persist
+
+    docs = load(spark, sf_dir, "documents")
+
+    cur = curate(docs)
+    d: dict[str, float] = {}
+    for stage in ["quality", "deduped", "contaminated", "clean", "mixed"]:
+        timed(d, stage, scoped_persist(cur[stage], f"bench.curation.{stage}").count)
+    timed(d, "shard_plan", shard_plan(cur["mixed"]).count)
+    stage_times["corpus_curation_pipeline"] = d
+
+    mh = minhash_lsh_stages(docs)
+    d = {}
+    timed(d, "shingle_explode", mh["shingles"].count)
+    timed(d, "signatures", mh["signatures"].count)
+    timed(d, "band_candidates", scoped_persist(mh["candidates"], "bench.mh.cands").count)
+    timed(d, "exact_verify", mh["verified"].count)
+    stage_times["dedup_minhash_lsh"] = d
+
+    emb = load(spark, sf_dir, "embeddings")
+    ann_stages: dict = {}
+    topk = ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        queries_in_corpus=True, stages_out=ann_stages,
+    )
+    d = {}
+    timed(d, "signatures", ann_stages["signatures"].count)
+    timed(d, "band_candidates", scoped_persist(ann_stages["candidates"], "bench.ann.cands").count)
+    timed(d, "exact_rerank_topk", topk.count)
+    stage_times["ann_lsh_cosine"] = d
+
+    # --- streaming dedup-ingest sink (C4-style incremental corpus build):
+    # availableNow pass of the documents table through the content-hash
+    # anti-join sink, writing corpus+index to a scratch dir. Timed as its
+    # own key (a sink, not a queries() entry).
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        from mta_rtf_dbt_spark.streaming.upsert import stream_dedup_ingest
+
+        # the file stream source requires a directory; stage the single
+        # testdata file into one (untimed setup)
+        os.makedirs(f"{tmp}/incoming")
+        shutil.copy(os.path.join(sf_dir, "documents.parquet"), f"{tmp}/incoming/")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/incoming")
+        t0 = time.monotonic()
+        q = stream_dedup_ingest(
+            spark, stream, f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
+        )
+        q.awaitTermination(600)
+        timings["stream_dedup_ingest"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +186,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stage_times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -276,22 +276,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
-def minhash_lsh_dedup(
+def minhash_lsh_stages(
     docs: DataFrame, threshold: float = 0.2, num_hashes: int = 64, bands: int = 16
-) -> DataFrame:
-    """Candidates via LSH, then exact-Jaccard verification of candidates only
-    (the standard verify step — precision 1.0, recall set by the band curve).
-
-    The signature and shingle relations each feed both sides of a self-join;
-    persisting them (eagerly — branches of one job don't reliably share a
-    cold cache) computes the shingle explode + hash agg once instead of four
-    times. At cluster scale this staging is a parquet/checkpoint write."""
+) -> dict[str, DataFrame]:
+    """The MinHash-LSH pipeline with every phase exposed (``shingles``,
+    ``signatures``, ``candidates``, ``verified``) so bench.py can attribute
+    wall time per phase (r3 verdict: the fixed-overhead claim needs
+    per-phase numbers). ``minhash_lsh_dedup`` is the production composition
+    of the same stages."""
     sh = scoped_persist(shingles(docs, 3), "minhash.shingles")
-    sh.count()  # materialize the shingle relation ONCE; signatures derive from it
     sigs = scoped_persist(
         minhash_signatures(docs, num_hashes, shingle_rel=sh), "minhash.sigs"
     )
-    sigs.count()
     cands = lsh_candidate_pairs(sigs, bands)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("sa")
@@ -304,12 +300,29 @@ def minhash_lsh_dedup(
     )
     thr_ppm = int(round(threshold * 1_000_000))
     jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
-    return (
+    verified = (
         common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= thr_ppm)
     )
+    return {"shingles": sh, "signatures": sigs, "candidates": cands, "verified": verified}
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = 0.2, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidates via LSH, then exact-Jaccard verification of candidates only
+    (the standard verify step — precision 1.0, recall set by the band curve).
+
+    The signature and shingle relations each feed both sides of a self-join;
+    persisting them (eagerly — branches of one job don't reliably share a
+    cold cache) computes the shingle explode + hash agg once instead of four
+    times. At cluster scale this staging is a parquet/checkpoint write."""
+    stages = minhash_lsh_stages(docs, threshold, num_hashes, bands)
+    stages["shingles"].count()  # materialize the shingle relation ONCE
+    stages["signatures"].count()
+    return stages["verified"]
 
 
 def _minhash_lsh_sql(

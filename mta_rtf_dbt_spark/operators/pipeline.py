@@ -269,9 +269,16 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composition: full curation funnel ending in per-shard
     stats of the final training mix. Exact membership at every stage is
     load-bearing — a single doc wrongly kept or dropped anywhere upstream
-    lands in some shard's id_sum and fails the hash."""
+    lands in some shard's id_sum and fails the hash.
+
+    ``mixed`` is persisted before shard planning: shard_plan's partition
+    probe and two-phase prefix sum would otherwise re-execute the whole
+    funnel (quality scan, dedup window, contamination join) once per
+    downstream branch — at 100 TB you'd stage the mixed corpus to parquet
+    here for exactly the same reason."""
     stages = curate(load(spark, sf_dir, "documents"))
-    plan = shard_plan(stages["mixed"])
+    mixed = scoped_persist(stages["mixed"], "pipeline.mixed")
+    plan = shard_plan(mixed)
     return plan.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tok_sum"),
@@ -308,8 +315,17 @@ _FUNNEL_STAGES = [
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-loss audit: surviving-row count per funnel stage (the report a
     production curation run logs). Long format (stage, n) so adding a stage
-    is a new row, not a schema change."""
+    is a new row, not a schema change.
+
+    The 7-way count union re-enters the funnel plan once per stage, so the
+    fan-out stages are persisted first (``deduped`` already is, inside
+    ``curate``): Spark's cache manager matches by canonicalized subtree, so
+    every later stage's count reuses the materialized prefix instead of
+    rebuilding base -> quality -> ... per row (r3 verdict perf item — at
+    100 TB the unpersisted audit would rescan the corpus several times)."""
     stages = curate(load(spark, sf_dir, "documents"))
+    stages["quality"] = scoped_persist(stages["quality"], "pipeline.audit.quality")
+    stages["clean"] = scoped_persist(stages["clean"], "pipeline.audit.clean")
     spark_names = {
         "1_raw": "base",
         "2_quality": "quality",

@@ -89,7 +89,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     single-row-group file pins every downstream narrow transform to one task
     — fatal for CPU-heavy per-row operators (shingling, hashing, vector
     math). At 100 TB inputs arrive with thousands of row groups and this is a
-    no-op; the repartition only fires when parallelism is actually missing."""
+    no-op; the repartition only fires when parallelism is actually missing.
+
+    The ``.rdd`` partition probe is only safe on shuffle-free plans: under
+    AQE, ``df.rdd`` on a plan containing exchanges MATERIALIZES the upstream
+    query stages — measured r4 at ~5 s of hidden execution per curation-entry
+    build. A plan that already shuffles (or reads a cache) has >=
+    ``spark.sql.shuffle.partitions`` partitions anyway, so the probe is both
+    dangerous and pointless there: detect via the pre-AQE physical plan
+    (driver-side planning only, no jobs) and return the frame unchanged."""
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "Exchange" in plan or "InMemoryTableScan" in plan:
+            return df
+    except Exception:
+        pass  # fall through to the probe on any introspection failure
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
