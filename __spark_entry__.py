@@ -44,6 +44,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.pipeline",
         "mta_rtf_dbt_spark.operators.lm",
         "mta_rtf_dbt_spark.operators.layout",
+        "mta_rtf_dbt_spark.operators.scale",
     ]
     out = []
     for m in mods:
@@ -95,9 +96,15 @@ _PRIORITY = [
     "dedup_keep_list",
     "corpus_shard_plan",
     "shard_write_roundtrip",
-    # -- changed this round: simhash gained a full oracle; jaccard outputs
-    #    moved to integer ppm; funnel audit persists its stages --
+    # -- new this round: driver-gated scale techniques --
+    "a_salted_skew_agg",
+    "j_salted_skew_join",
+    # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
+    #    full oracles (portable hash family / hex-decoded PCM); jaccard
+    #    outputs moved to integer ppm; funnel audit persists its stages --
     "dedup_simhash",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "corpus_curation_pipeline",
@@ -105,8 +112,6 @@ _PRIORITY = [
     # -- rows-only (weaker driver check regardless; python-recompute or
     #    property tests locally) --
     "ann_ivf_cosine",
-    "text_fingerprint_rolling",
-    "multimodal_audio_energy",
     "a_approx_sketches",
     "text_compression_ratio",
     # -- round-1-green only, not re-checked since (stalest first) --

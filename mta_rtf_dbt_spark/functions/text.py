@@ -99,9 +99,33 @@ def fingerprint_sha(col: Column) -> Column:
     return F.sha2(normalize(col), 256)
 
 
+# The engine's portable hash family (shared with operators/dedup.py MinHash/
+# SimHash and textops winnowing): char-polynomial, base 257, mod 2^31-1.
+# All intermediates fit signed 64-bit, so Spark longs and any oracle
+# engine's BIGINTs agree bit-for-bit.
+POLY_BASE = 257
+POLY_MOD = 2_147_483_647
+
+
+def poly_hash(c: Column) -> Column:
+    """Char-polynomial hash of a string column mod 2^31-1 — pure Column ops
+    (sequence/transform/aggregate all stay inside codegen; no UDF)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substr(c, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    )
+
+
 def fingerprint_rolling(col: Column, window: int = 8) -> Column:
-    """Rolling-hash style fingerprint: min of xxhash64 over character
-    ``window``-grams of the normalized text (a winnowing-flavored signature —
-    cheap, shift-tolerant, pure Column ops)."""
+    """Rolling-hash style fingerprint: min of the portable char-polynomial
+    hash over character ``window``-grams of the normalized text (a
+    winnowing-flavored signature — cheap, shift-tolerant, pure Column ops,
+    and since r4 engine-reproducible, so the driver entry carries a full
+    DuckDB oracle instead of a rows-only check)."""
     grams = char_ngrams(col, window)
-    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+    return F.array_min(F.transform(grams, lambda g: poly_hash(g)))

@@ -194,17 +194,9 @@ def _minhash_seeds(num_hashes: int = 64) -> list[tuple[int, int]]:
 
 
 def _poly_hash_col(c) -> F.Column:
-    """Char-polynomial hash of a string column mod P — pure Column ops
-    (sequence/transform/aggregate all stay inside codegen; no UDF)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(F.substr(c, i, F.lit(1))).cast("long"),
-    )
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * MINHASH_CHAR_BASE + x) % MINHASH_P,
-    )
+    """Char-polynomial hash mod P — the shared portable family
+    (:func:`functions.text.poly_hash`; same base/modulus constants)."""
+    return T.poly_hash(c)
 
 
 def minhash_signatures(
@@ -288,10 +280,23 @@ def minhash_lsh_stages(
     sigs = scoped_persist(
         minhash_signatures(docs, num_hashes, shingle_rel=sh), "minhash.sigs"
     )
-    cands = lsh_candidate_pairs(sigs, bands)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
+    cands = scoped_persist(lsh_candidate_pairs(sigs, bands), "minhash.cands")
+    # Verification only touches candidate docs' shingles: semi-filter the
+    # persisted shingle relation down to them before the match join. At
+    # 100 TB candidates are a vanishing fraction of the corpus, so this
+    # turns the verify stage from a shuffle of ALL corpus shingles into one
+    # of candidate shingles only. (The broadcast hint assumes the distinct
+    # candidate-doc list stays driver-sized — the LSH band curve keeps it
+    # so; were it ever corpus-scale, drop the hint and AQE picks the join.)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_cand.alias("sa")
+    b = sh_cand.alias("sb")
     common = (
         cands.join(a, F.col("sa.doc_id") == F.col("doc_a"))
         .join(b, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))

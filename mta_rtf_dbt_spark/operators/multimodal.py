@@ -194,11 +194,36 @@ def audio_frame_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     return media.mapInPandas(batches, AUDIO_SCHEMA)
 
 
-@q("multimodal_audio_energy")  # rows-only: byte-level PCM framing isn't SQL-expressible
+_AUDIO_SQL = """
+    WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+                      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+               FROM documents),
+    fr AS (SELECT doc_id,
+                  unnest(generate_series(0, greatest(CAST(ceil(n / 256.0) AS BIGINT) - 1, 0))) AS frame_no
+           FROM m),
+    byt AS (SELECT doc_id, hx, unnest(generate_series(0, n - 1)) AS i FROM m WHERE n > 0),
+    vals AS (SELECT doc_id, i // 256 AS frame_no,
+                    (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS v
+             FROM byt),
+    en AS (SELECT doc_id, frame_no,
+                  CAST(COUNT(*) AS INTEGER) AS n_samples,
+                  CAST(SUM(CASE WHEN v >= 128 THEN (v-256)*(v-256) ELSE v*v END) AS BIGINT) AS energy
+           FROM vals GROUP BY 1, 2)
+    SELECT f.doc_id, CAST(f.frame_no AS INTEGER) AS frame_no,
+           CAST(COALESCE(e.n_samples, 0) AS INTEGER) AS n_samples,
+           CAST(COALESCE(e.energy, 0) AS BIGINT) AS energy
+    FROM fr f LEFT JOIN en e ON e.doc_id = f.doc_id AND e.frame_no = f.frame_no
+    """
+
+
+@q("multimodal_audio_energy", _AUDIO_SQL)
 def multimodal_audio_energy(spark, sf_dir):
-    """Frame-energy extraction over synthesized PCM payloads; exact-integer
-    energies are python-recomputed in tests (the driver check is rows-only —
-    DuckDB has no byte-array explode)."""
+    """Frame-energy extraction over synthesized PCM payloads. Fully
+    oracle-checked since r4: the payload is the utf-8 byte stream, so the
+    oracle hex-decodes the BLOB (two hex chars -> signed int8 sample) and
+    replays the 256-sample sum-of-squares exactly — upgrading the former
+    rows-only check (energies remain python-recomputed in unit tests too)."""
     media = with_media_column(load(spark, sf_dir, "documents"))
     return audio_frame_energy(media)
 

@@ -123,3 +123,86 @@ def table_stats(spark: SparkSession, table: str, columns: list[str] | None = Non
     of the reference relying on BigQuery's automatic stats."""
     cols = f" FOR COLUMNS {', '.join(columns)}" if columns else ""
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}")
+
+
+# ---------------------------------------------------------------------------
+# Driver entries (r4): salting is semantics-preserving, so both techniques
+# are oracle-checkable — the salted plan must produce EXACTLY the rows of
+# the plain formulation DuckDB runs. (Aggregated outputs avoid float sums:
+# count/min/max are order-free and the summed columns are integers.)
+# ---------------------------------------------------------------------------
+from collections.abc import Callable  # noqa: E402
+
+from mta_rtf_dbt_spark.session import pin_session  # noqa: E402
+from mta_rtf_dbt_spark.sources.registry import load  # noqa: E402
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+@q(
+    "a_salted_skew_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the hot ``event_type`` key — the
+    extreme-skew analogue of A1 (SURVEY.md §4 "Skew handling"). The salt is
+    an internal detail: the result must equal DuckDB's plain GROUP BY
+    bit-for-bit (count/min/max are order-free; the sum is over bigints)."""
+    e = load(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("event_type", "count"),
+            "uid_sum": ("user_id", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+
+
+@q(
+    "j_salted_skew_join",
+    """
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-dim salted join (fact salt + dim explode x16) for the
+    hot-key case AQE can't save (non-AQE deployments / one pathological
+    key), rolled up per supplier nation. Salting must not change the join
+    result: the oracle is the plain equi-join."""
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    sup = load(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+    joined = replicated_skew_join(li, sup, "suppkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_sum"),
+    )

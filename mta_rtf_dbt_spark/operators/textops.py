@@ -166,11 +166,31 @@ def text_analysis_pack(spark, sf_dir):
     )
 
 
-@q("text_fingerprint_rolling")  # rows-only: xxhash64 family
+_ROLLING_SQL = """
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+               FROM documents),
+    g AS (SELECT doc_id,
+                 substring(norm, unnest(generate_series(1, greatest(length(norm) - 7, 1))), 8) AS gram
+          FROM n),
+    h AS (SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length(gram)),
+                                    j -> CAST(ascii(substring(gram, j, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 257 + c) % 2147483647) AS fp
+          FROM g)
+    SELECT doc_id, MIN(fp) AS rolling_fp FROM h GROUP BY doc_id
+    """
+
+
+@q("text_fingerprint_rolling", _ROLLING_SQL)
 def text_fingerprint_rolling(spark, sf_dir):
-    """Winnowing-style rolling-hash fingerprint (min xxhash64 over 8-char
-    windows) — shift-tolerant near-dup signal; tests assert exact-dup pairs
-    share it."""
+    """Winnowing-style rolling-hash fingerprint (min char-poly hash over
+    8-char windows of normalized text) — shift-tolerant near-dup signal.
+    Fully oracle-checked since r4: the hash is the portable polynomial
+    family (functions/text.py:poly_hash), so DuckDB replays every window
+    hash and the min bit-for-bit (previously xxhash64, rows-only). Tests
+    additionally assert exact-dup pairs share the fingerprint."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint_rolling(F.col("text")).alias("rolling_fp"))
 
