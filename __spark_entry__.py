@@ -96,9 +96,10 @@ _PRIORITY = [
     "dedup_keep_list",
     "corpus_shard_plan",
     "shard_write_roundtrip",
-    # -- new this round: driver-gated scale techniques --
+    # -- new this round: driver-gated scale techniques + hopping windows --
     "a_salted_skew_agg",
     "j_salted_skew_join",
+    "w_hopping_windows",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

@@ -137,7 +137,7 @@ def main() -> None:
     d = {}
     timed(d, "shingle_explode", mh["shingles"].count)
     timed(d, "signatures", mh["signatures"].count)
-    timed(d, "band_candidates", mh["candidates"].count)  # persisted inside stages
+    timed(d, "band_candidates", scoped_persist(mh["candidates"], "bench.mh.cands").count)
     timed(d, "exact_verify", mh["verified"].count)
     stage_times["dedup_minhash_lsh"] = d
 

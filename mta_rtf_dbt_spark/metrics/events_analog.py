@@ -82,6 +82,48 @@ def m2_analog(spark, sf_dir):
 
 
 @q(
+    "w_hopping_windows",
+    """
+    WITH x AS (
+      SELECT event_type, user_id,
+             300 * (CAST(floor(epoch_us(ts)/1000000.0) AS BIGINT) // 300) AS s1
+      FROM events
+    ),
+    w AS (SELECT event_type, user_id, unnest([s1 - 300, s1]) AS win_s FROM x)
+    SELECT CAST(to_timestamp(win_s) AS TIMESTAMP) AS win_start,
+           CAST(to_timestamp(win_s + 600) AS TIMESTAMP) AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           count(DISTINCT user_id) AS actors
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def w_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) windows in batch via the native ``F.window`` with a
+    slideDuration — 10-minute windows every 5 minutes, so each event lands
+    in exactly two (the overlap ratio). Covers the window-function surface
+    the tumbling M1/M2 analogs don't; the streaming jobs share the same
+    expression. Oracle: each event's two epoch-aligned window starts
+    enumerated by integer arithmetic."""
+    e = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("actors"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "actors",
+        )
+    )
+
+
+@q(
     "m5_analog_headways",
     """
     WITH seen AS (

@@ -280,38 +280,45 @@ def minhash_lsh_stages(
     sigs = scoped_persist(
         minhash_signatures(docs, num_hashes, shingle_rel=sh), "minhash.sigs"
     )
-    cands = scoped_persist(lsh_candidate_pairs(sigs, bands), "minhash.cands")
-    # Verification only touches candidate docs' shingles: semi-filter the
-    # persisted shingle relation down to them before the match join. At
-    # 100 TB candidates are a vanishing fraction of the corpus, so this
-    # turns the verify stage from a shuffle of ALL corpus shingles into one
-    # of candidate shingles only. (The broadcast hint assumes the distinct
-    # candidate-doc list stays driver-sized — the LSH band curve keeps it
-    # so; were it ever corpus-scale, drop the hint and AQE picks the join.)
+    cands = lsh_candidate_pairs(sigs, bands)
+
+    def verify(shv: DataFrame) -> DataFrame:
+        cnt = shv.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = shv.alias("sa")
+        b = shv.alias("sb")
+        common = (
+            cands.join(a, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(b, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+        thr_ppm = int(round(threshold * 1_000_000))
+        jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
+        return (
+            common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+            .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+            .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
+            .filter(F.col("jaccard_ppm") >= thr_ppm)
+        )
+
+    # Pruned variant: semi-filter the shingle relation to candidate docs
+    # before the match join — at 100 TB candidates are a vanishing fraction
+    # of the corpus, so the verify stage shuffles candidate shingles, not
+    # ALL corpus shingles. (The broadcast assumes the candidate-doc list
+    # stays driver-sized; the band curve keeps it so.) The unpruned variant
+    # skips the extra exchange — cheaper when candidates ~ corpus.
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh_cand.alias("sa")
-    b = sh_cand.alias("sb")
-    common = (
-        cands.join(a, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    thr_ppm = int(round(threshold * 1_000_000))
-    jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
-    verified = (
-        common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
-        .filter(F.col("jaccard_ppm") >= thr_ppm)
-    )
-    return {"shingles": sh, "signatures": sigs, "candidates": cands, "verified": verified}
+    return {
+        "shingles": sh,
+        "signatures": sigs,
+        "candidates": cands,
+        "verified": verify(sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")),
+        "verified_full": verify(sh),
+    }
 
 
 def minhash_lsh_dedup(
@@ -323,11 +330,24 @@ def minhash_lsh_dedup(
     The signature and shingle relations each feed both sides of a self-join;
     persisting them (eagerly — branches of one job don't reliably share a
     cold cache) computes the shingle explode + hash agg once instead of four
-    times. At cluster scale this staging is a parquet/checkpoint write."""
+    times. At cluster scale this staging is a parquet/checkpoint write.
+
+    Verify-side pruning is chosen from the signature count the staging
+    already takes (both variants return identical rows): above ~200k docs
+    the corpus-wide shingle shuffle dominates the one extra broadcast
+    exchange pruning costs, so prune; a benchmark-sized corpus skips the
+    exchange. A 100 TB corpus always prunes."""
     stages = minhash_lsh_stages(docs, threshold, num_hashes, bands)
     stages["shingles"].count()  # materialize the shingle relation ONCE
-    stages["signatures"].count()
-    return stages["verified"]
+    n_sigs = stages["signatures"].count()
+    prune = n_sigs > 200_000
+    if prune:
+        # the pruned variant references candidates twice (verify join +
+        # candidate-doc broadcast): persist and fill the cache before the
+        # broadcast's eager evaluation races it. The unpruned path reads
+        # candidates exactly once — a persist there is pure overhead.
+        scoped_persist(stages["candidates"], "minhash.cands").count()
+    return stages["verified" if prune else "verified_full"]
 
 
 def _minhash_lsh_sql(
