@@ -100,6 +100,7 @@ _PRIORITY = [
     "a_salted_skew_agg",
     "j_salted_skew_join",
     "w_hopping_windows",
+    "source_orc_roundtrip",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

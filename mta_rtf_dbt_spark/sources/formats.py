@@ -121,3 +121,27 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_back = read_jsonl(spark, json_path, _FMT_SCHEMA).select(*csv_back.columns)
     # intersect proves the two format round-trips agree row-for-row
     return csv_back.intersect(json_back)
+
+
+@q("source_orc_roundtrip", _FMT_SQL)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The columnar sink matrix beyond parquet: the same aggregate written
+    as ORC (Spark-native writer, zlib default) and read back with an
+    explicit schema. ORC timestamps carry writer-timezone metadata — the
+    session UTC pin (D11) is what makes the round-trip value-stable, which
+    this entry proves against the parquet-derived oracle."""
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_formats", "orc")
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.schema(_FMT_SCHEMA).orc(path)
