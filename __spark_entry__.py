@@ -78,7 +78,10 @@ _PRIORITY = [
     # -- new this round: the real MTA model surface (trip_uid chain) --
     "mta_fact_trips_stops",
     "mta_fact_trips",
+    "mta_fact_delays",
+    "mta_fact_alerts",
     "mta_m5_headways",
+    "mta_m6_dwell",
     # -- never driver-checked in any round (r3 verdict "What's missing" §2) --
     "q7_volume_shipping",
     "q8_market_share",

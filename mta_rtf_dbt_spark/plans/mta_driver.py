@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mta_rtf_dbt_spark.plans.mta_oracle import (
+    FACT_ALERTS_BODY,
+    FACT_DELAYS_BODY,
     FACT_TRIPS_BODY,
     FACT_TRIPS_STOPS_BODY,
 )
@@ -110,6 +112,67 @@ def mta_fact_trips(spark, sf_dir):
     """Trip-grain rollup (fact_trips.sql:23-89): ordered-ARRAY_AGG-limit-1
     argmin/argmax with nulls-last CASE keys + the double-aliased stops dim."""
     return _models(spark)["fact_trips"]
+
+
+@q(
+    "mta_fact_delays",
+    f"""
+    WITH {_fixture_ctes(_FTS_SOURCES)},
+    o_fact_trips_stops AS ({FACT_TRIPS_STOPS_BODY}),
+    o_fact_delays AS ({FACT_DELAYS_BODY})
+    SELECT * FROM o_fact_delays
+    """,
+)
+def mta_fact_delays(spark, sf_dir):
+    """Delay-event slice (fact_delays.sql:4-55): feed='main' filter + the
+    either-delay-present OR predicate over the full stop-level model."""
+    return _models(spark)["fact_delays"]
+
+
+_ALERT_SOURCES = [
+    "alerts",
+    "alerts__alert__header_text__translation",
+    "alerts__alert__description_text__translation",
+    "alerts__alert__active_period",
+    "alerts__alert__informed_entity",
+    "stops",
+    "routes",
+]
+
+
+@q(
+    "mta_fact_alerts",
+    f"""
+    WITH {_fixture_ctes(_ALERT_SOURCES)},
+    o_fact_alerts AS ({FACT_ALERTS_BODY})
+    SELECT * FROM o_fact_alerts
+    """,
+)
+def mta_fact_alerts(spark, sf_dir):
+    """Alert star (fact_alerts.sql:3-94): per-child aggregate-then-left-join
+    (J3) x4 plus the stops/routes dim lookups (J8 multi-way)."""
+    return _models(spark)["fact_alerts"]
+
+
+@q(
+    "mta_m6_dwell",
+    f"""
+    WITH {_fixture_ctes(_FTS_SOURCES)},
+    o_fact_trips_stops AS ({FACT_TRIPS_STOPS_BODY})
+    SELECT route_id, direction_id, stop_id, trip_uid,
+           CAST((epoch_us(departure_ts_utc) - epoch_us(arrival_ts_utc)
+                 - ((epoch_us(departure_ts_utc) - epoch_us(arrival_ts_utc)) % 1000000))
+                // 1000000 AS BIGINT) AS dwell_s
+    FROM o_fact_trips_stops
+    WHERE arrival_ts_utc IS NOT NULL AND departure_ts_utc IS NOT NULL
+    """,
+)
+def mta_m6_dwell(spark, sf_dir):
+    """Metric M6 (metrics_guide.md:203-214) over the fixture-built model:
+    both-timestamps filter + D9 truncate-toward-zero dwell seconds."""
+    from mta_rtf_dbt_spark.metrics.guide import m6_dwell_times
+
+    return m6_dwell_times(_models(spark))
 
 
 @q(
