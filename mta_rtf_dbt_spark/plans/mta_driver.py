@@ -46,6 +46,7 @@ def q(name: str, sql: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
