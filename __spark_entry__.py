@@ -104,6 +104,7 @@ _PRIORITY = [
     "j_salted_skew_join",
     "w_hopping_windows",
     "source_orc_roundtrip",
+    "dedup_edit_distance",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

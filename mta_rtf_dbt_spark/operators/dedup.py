@@ -534,6 +534,64 @@ def _simhash_sql(max_hamming: int = 6) -> str:
     """
 
 
+_EDIT_PREFIX = 40   # compare normalized-text prefixes (edit distance is O(n*m))
+_EDIT_BLOCK = 4     # blocking key: shared 4-char prefix
+_EDIT_MAX = 5       # max edit distance to emit
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = _EDIT_MAX,
+    prefix_len: int = _EDIT_PREFIX,
+    block_len: int = _EDIT_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy near-dup pairs by Levenshtein distance over normalized-text
+    prefixes, with prefix blocking: only docs sharing the first
+    ``block_len`` characters are compared, so candidate generation is an
+    equi-join on the block key — bounded like every other pair finder here,
+    never all-pairs. Distance is computed on ``prefix_len``-char prefixes
+    (edit distance is O(n*m); bounding the operand caps per-pair cost).
+    Blocking trades recall for scale: an edit inside the first
+    ``block_len`` chars hides a pair — the standard blocking caveat."""
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(T.normalize(F.col(text_col)), 1, prefix_len).alias("pre"),
+    ).withColumn("blk", F.substring(F.col("pre"), 1, block_len))
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pa"), "blk")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+@q(
+    "dedup_edit_distance",
+    f"""
+    WITH pre AS (
+      SELECT doc_id,
+             substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, {_EDIT_PREFIX}) AS pre
+      FROM documents
+    ),
+    blk AS (SELECT doc_id, pre, substring(pre, 1, {_EDIT_BLOCK}) AS blk FROM pre)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+    FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= {_EDIT_MAX}
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup pairs (Levenshtein <= 5 over 40-char
+    normalized prefixes, 4-char prefix blocking). Both engines implement
+    unit-cost Levenshtein identically, so the entry is fully oracle-checked
+    including the distances."""
+    return edit_distance_pairs(load(spark, sf_dir, "documents"))
+
+
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 6 over 64 bits). Fully
