@@ -86,12 +86,20 @@ def contamination_pairs(
     Scale: identical posting-join shape to dedup's exact baseline — one
     shuffle on the shingle key, hot shingles (df >= max_posting across both
     relations) dropped before the join so corpus boilerplate can't go
-    quadratic."""
+    quadratic. The capped path persists its fan-out relations (each input
+    feeds the df-count union AND a keep-join; the capped test side feeds the
+    per-doc count AND the match join) so the shingle explodes run once per
+    relation, not once per consumer — at cluster scale these persists are
+    the staging writes a production decontamination job does anyway."""
+    from mta_rtf_dbt_spark.sources.registry import scoped_persist
+
     if max_posting is not None:
+        test_sh = scoped_persist(test_sh, "contam.test_sh")
+        train_sh = scoped_persist(train_sh, "contam.train_sh")
         union = test_sh.select("shingle").unionAll(train_sh.select("shingle"))
         dfreq = union.groupBy("shingle").agg(F.count("*").alias("__df"))
         keep = dfreq.filter(F.col("__df") < max_posting).select("shingle")
-        test_sh = test_sh.join(keep, "shingle")
+        test_sh = scoped_persist(test_sh.join(keep, "shingle"), "contam.test_kept")
         train_sh = train_sh.join(keep, "shingle")
     test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
     common = (
