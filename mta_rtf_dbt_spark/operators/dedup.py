@@ -112,6 +112,9 @@ def jaccard_pairs(
 
         dfreq = F.count("*").over(Window.partitionBy("shingle"))
         sh = sh.withColumn("__df", dfreq).filter(F.col("__df") < max_posting).drop("__df")
+    # the (capped) shingle relation feeds per-doc counts AND both sides of
+    # the posting self-join: persist so the explode+cap runs once, not 3x
+    sh = scoped_persist(sh, "jaccard.sh")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -456,7 +459,10 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Candidates share >= 1 of 8 bands — by pigeonhole this finds *every*
     pair with Hamming <= 7, so the max_hamming=6 filter loses nothing — then
-    exact Hamming distance filter."""
+    exact Hamming distance filter. The signature relation feeds the banded
+    self-join and both Hamming sides: persist so the 64-sum aggregate runs
+    once, not three times."""
+    sigs = scoped_persist(sigs, "simhash.sigs")
     banded = sigs.select(
         "doc_id",
         F.posexplode(

@@ -159,6 +159,12 @@ def connected_components_star(
     At the fixpoint every non-root node holds exactly one edge to its
     component's min id; labels read off the edges with no further pass.
     """
+    # the undirected closure reads `edges` twice (both orientations); for
+    # callers whose edge relation is itself an expensive pipeline (the
+    # jaccard posting join), persist it so that pipeline runs once
+    from mta_rtf_dbt_spark.sources.registry import scoped_persist
+
+    edges = scoped_persist(edges, "cc.edges")
     und0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

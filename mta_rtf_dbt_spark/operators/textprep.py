@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.operators.dedup import shingles
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load, spread
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -91,8 +91,6 @@ def contamination_pairs(
     per-doc count AND the match join) so the shingle explodes run once per
     relation, not once per consumer — at cluster scale these persists are
     the staging writes a production decontamination job does anyway."""
-    from mta_rtf_dbt_spark.sources.registry import scoped_persist
-
     if max_posting is not None:
         test_sh = scoped_persist(test_sh, "contam.test_sh")
         train_sh = scoped_persist(train_sh, "contam.train_sh")
@@ -152,8 +150,6 @@ def text_decontaminate(spark, sf_dir):
     contamination_pairs would rebuild the shingle relation per side
     (plan audit showed 14 shuffles vs 6 this way)."""
     from pyspark.sql import Window
-
-    from mta_rtf_dbt_spark.sources.registry import scoped_persist
 
     sh = shingles(load(spark, sf_dir, "documents"), 3)
     dfreq = F.count("*").over(Window.partitionBy("shingle"))
@@ -351,7 +347,11 @@ def pack_sequences(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = toks.withColumn("local_end", F.sum("n_tokens").over(wloc))
+    # phase-1 feeds both the bucket totals and the final offset join —
+    # persist or the token-count scan runs twice (same fix as shard_plan)
+    local = scoped_persist(
+        toks.withColumn("local_end", F.sum("n_tokens").over(wloc)), "pack.local"
+    )
     btot = local.groupBy("bucket").agg(F.max("local_end").alias("btotal"))
     boff = btot.withColumn(
         "boffset",
