@@ -96,10 +96,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     query stages — measured r4 at ~5 s of hidden execution per curation-entry
     build. A plan that already shuffles (or reads a cache) has >=
     ``spark.sql.shuffle.partitions`` partitions anyway, so the probe is both
-    dangerous and pointless there: detect via the pre-AQE physical plan
-    (driver-side planning only, no jobs) and return the frame unchanged."""
+    dangerous and pointless there: detect exchanges via ``executedPlan``
+    (building the AdaptiveSparkPlan wrapper is driver-side planning only —
+    EnsureRequirements has inserted the Exchange nodes by then, unlike
+    ``sparkPlan`` which prints BEFORE they exist; no jobs run until an
+    action) and return the frame unchanged."""
     try:
-        plan = df._jdf.queryExecution().sparkPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if "Exchange" in plan or "InMemoryTableScan" in plan:
             return df
     except Exception:

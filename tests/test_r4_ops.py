@@ -63,6 +63,39 @@ def test_salted_agg_equals_plain_agg_under_skew(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_spread_skips_rdd_probe_on_shuffled_plans(spark):
+    """Regression for the AQE .rdd hazard (SCALE.md r4): spread() must NOT
+    touch .rdd on plans containing exchanges — it returns the frame
+    unchanged (identity), since post-shuffle parallelism is already
+    spark.sql.shuffle.partitions."""
+    from mta_rtf_dbt_spark.sources.registry import spread
+
+    shuffled = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    assert spread(shuffled) is shuffled
+    cached = spark.range(100).persist()
+    try:
+        cached.count()
+        assert spread(cached) is cached
+    finally:
+        cached.unpersist()
+
+
+def test_salted_agg_two_stage_plan(spark):
+    """The salted aggregation must be exactly two exchanges: keys+salt then
+    keys — no third shuffle, no broadcast."""
+    from mta_rtf_dbt_spark.operators.scale import salted_agg
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    plan = (
+        salted_agg(df, ["k"], {"s": ("v", "sum")})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_replicated_skew_join_equals_plain_join(spark):
     from mta_rtf_dbt_spark.operators.scale import replicated_skew_join
 
