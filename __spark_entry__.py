@@ -105,6 +105,7 @@ _PRIORITY = [
     "w_hopping_windows",
     "source_orc_roundtrip",
     "dedup_edit_distance",
+    "m1_gapfill_spine",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

@@ -124,6 +124,55 @@ def w_hopping_windows(spark, sf_dir):
 
 
 @q(
+    "m1_gapfill_spine",
+    """
+    WITH b AS (
+      SELECT date_trunc('minute', ts) AS m, count(DISTINCT user_id) AS actors
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-05 06:00:00'
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 06:00:00',
+                                    INTERVAL 1 MINUTE)) AS ts_minute
+    )
+    SELECT CAST(s.ts_minute AS TIMESTAMP) AS ts_minute,
+           COALESCE(b.actors, 0) AS actors_observed,
+           (b.m IS NULL) AS gap_filled
+    FROM spine s LEFT JOIN b ON b.m = s.ts_minute
+    """,
+)
+def m1_gapfill_spine(spark, sf_dir):
+    """Gap-filled minutely series: a generated date spine (``sequence`` +
+    explode — the idiomatic Spark date dimension, no driver-side loop)
+    left-joined to the observed per-minute counts, empty minutes emitted as
+    explicit zeros with a gap flag. The reporting shape every metrics chart
+    needs that plain GROUP BY can't produce (absent groups don't exist)."""
+    e = load(spark, sf_dir, "events")
+    lo, hi = "2024-01-05 00:00:00", "2024-01-05 06:00:00"
+    counts = (
+        e.filter(F.col("ts").between(lo, hi))
+        .groupBy(bq.timestamp_trunc(F.col("ts"), "minute").alias("m"))
+        .agg(F.countDistinct("user_id").alias("actors"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("timestamp"),
+                F.lit(hi).cast("timestamp"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("ts_minute")
+    )
+    return spine.join(counts, spine.ts_minute == counts.m, "left").select(
+        "ts_minute",
+        F.coalesce(F.col("actors"), F.lit(0)).alias("actors_observed"),
+        F.col("m").isNull().alias("gap_filled"),
+    )
+
+
+@q(
     "m5_analog_headways",
     """
     WITH seen AS (
