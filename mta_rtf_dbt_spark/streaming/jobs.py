@@ -68,6 +68,43 @@ def stream_m1(spark, sf_dir):
 
 
 @q(
+    "stream_hopping_windows",
+    """
+    WITH x AS (
+      SELECT event_type,
+             300 * (CAST(floor(epoch_us(ts)/1000000.0) AS BIGINT) // 300) AS s1
+      FROM events
+    ),
+    w AS (SELECT event_type, unnest([s1 - 300, s1]) AS win_s FROM x)
+    SELECT CAST(to_timestamp(win_s) AS TIMESTAMP) AS win_start,
+           CAST(to_timestamp(win_s + 600) AS TIMESTAMP) AS win_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def stream_hopping(spark, sf_dir):
+    """The hopping-window shape (10-minute windows sliding every 5) as a
+    watermarked stream — the same ``F.window`` expression the batch
+    ``w_hopping_windows`` entry uses, proving slide semantics are shared
+    across both execution modes. Count-only: distinct aggregates aren't
+    supported in streaming, and the one-shot drain makes stream == batch."""
+    src = stream_source(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@q(
     "stream_first_observation_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )
