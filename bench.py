@@ -75,6 +75,11 @@ def main() -> None:
         "corpus_curation_pipeline",  # full curation funnel -> shard stats
         # round-4 additions (first benched in r4)
         "text_line_dedup",         # C4-style cross-doc line dedup
+        "dedup_simhash",           # 64-bit sign-hash banding + Hamming verify
+        "dedup_edit_distance",     # blocked Levenshtein near-dup
+        "corpus_curation_funnel",  # per-stage data-loss audit (persisted fan-outs)
+        "w_hopping_windows",       # sliding windows in batch
+        "mta_fact_trips_stops",    # the reference's core model over fixtures
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so

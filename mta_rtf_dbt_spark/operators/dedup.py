@@ -541,8 +541,9 @@ def _simhash_sql(max_hamming: int = 6) -> str:
 
 
 _EDIT_PREFIX = 40   # compare normalized-text prefixes (edit distance is O(n*m))
-_EDIT_BLOCK = 4     # blocking key: shared 4-char prefix
+_EDIT_BLOCK = 12    # blocking key: shared 12-char prefix
 _EDIT_MAX = 5       # max edit distance to emit
+_EDIT_MAX_BLOCK = 100  # hot-block cap (same discipline as hot shingles)
 
 
 def edit_distance_pairs(
@@ -550,6 +551,7 @@ def edit_distance_pairs(
     max_dist: int = _EDIT_MAX,
     prefix_len: int = _EDIT_PREFIX,
     block_len: int = _EDIT_BLOCK,
+    max_block: int | None = _EDIT_MAX_BLOCK,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -559,12 +561,25 @@ def edit_distance_pairs(
     equi-join on the block key — bounded like every other pair finder here,
     never all-pairs. Distance is computed on ``prefix_len``-char prefixes
     (edit distance is O(n*m); bounding the operand caps per-pair cost).
-    Blocking trades recall for scale: an edit inside the first
-    ``block_len`` chars hides a pair — the standard blocking caveat."""
+
+    Natural text makes SHORT blocks hot ("the " opens a large share of
+    English documents): at sf0.1, 4-char blocks put 816k pairs through
+    Levenshtein where 12-char blocks leave 17k (measured — 48x). On top of
+    the longer key, blocks with >= ``max_block`` members are dropped
+    entirely (the hot-shingle cap's sibling; a block that common is
+    boilerplate, not near-dup signal). Blocking trades recall for scale
+    either way: an edit inside the first ``block_len`` chars hides a pair —
+    the standard blocking caveat."""
     pre = docs.select(
         F.col(id_col).alias("doc_id"),
         F.substring(T.normalize(F.col(text_col)), 1, prefix_len).alias("pre"),
     ).withColumn("blk", F.substring(F.col("pre"), 1, block_len))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        bfreq = F.count("*").over(Window.partitionBy("blk"))
+        pre = pre.withColumn("__bf", bfreq).filter(F.col("__bf") < max_block).drop("__bf")
+    pre = scoped_persist(pre, "editdist.pre")  # feeds both join sides
     a = pre.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pa"), "blk")
     b = pre.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pb"), "blk")
     return (
@@ -583,7 +598,10 @@ def edit_distance_pairs(
              substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, {_EDIT_PREFIX}) AS pre
       FROM documents
     ),
-    blk AS (SELECT doc_id, pre, substring(pre, 1, {_EDIT_BLOCK}) AS blk FROM pre)
+    blk0 AS (SELECT doc_id, pre, substring(pre, 1, {_EDIT_BLOCK}) AS blk FROM pre),
+    blk AS (SELECT doc_id, pre, blk FROM (
+              SELECT *, count(*) OVER (PARTITION BY blk) AS bf FROM blk0
+            ) WHERE bf < {_EDIT_MAX_BLOCK})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
     FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -592,8 +610,9 @@ def edit_distance_pairs(
 )
 def dedup_edit_distance(spark, sf_dir):
     """Edit-distance near-dup pairs (Levenshtein <= 5 over 40-char
-    normalized prefixes, 4-char prefix blocking). Both engines implement
-    unit-cost Levenshtein identically, so the entry is fully oracle-checked
+    normalized prefixes, 12-char prefix blocking with a hot-block cap,
+    both mirrored in the oracle). Both engines implement unit-cost
+    Levenshtein identically, so the entry is fully oracle-checked
     including the distances."""
     return edit_distance_pairs(load(spark, sf_dir, "documents"))
 
