@@ -107,6 +107,7 @@ _PRIORITY = [
     "dedup_edit_distance",
     "m1_gapfill_spine",
     "stream_hopping_windows",
+    "a_histogram_values",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

@@ -542,6 +542,46 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram (§2.4 extension): equi-width value histogram over broadcast
+# min/max scalars — the profiling shape a data-quality pass reports.
+# ---------------------------------------------------------------------------
+_N_HIST = 20
+
+
+@q(
+    "a_histogram_values",
+    f"""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    x AS (SELECT value,
+                 LEAST(CAST(floor((value - lo) * {_N_HIST} / (hi - lo)) AS BIGINT),
+                       {_N_HIST - 1}) AS bucket
+          FROM events, b)
+    SELECT bucket, COUNT(*) AS n_events,
+           MIN(value) AS bucket_min, MAX(value) AS bucket_max
+    FROM x GROUP BY bucket
+    """,
+)
+def a_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` in 20 buckets. Bounds come
+    from a broadcast one-row min/max aggregate (the zorder grid pattern —
+    no sampling, deterministic); the bucket expression is written with the
+    identical IEEE-double operation order in both engines so floor() lands
+    identically, and the top edge clamps into the last bucket."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    g = e.crossJoin(F.broadcast(bounds))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) * _N_HIST / (F.col("hi") - F.col("lo"))),
+        F.lit(_N_HIST - 1).cast("long"),
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("bucket_min"),
+        F.max("value").alias("bucket_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets family (§2.4 "absent but available"): ROLLUP.
 # ---------------------------------------------------------------------------
 @q(
