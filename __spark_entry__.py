@@ -108,6 +108,7 @@ _PRIORITY = [
     "m1_gapfill_spine",
     "stream_hopping_windows",
     "a_histogram_values",
+    "a_mode_top_actor",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

@@ -581,6 +581,31 @@ def a_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "a_mode_top_actor",
+    """
+    WITH c AS (SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY c DESC, user_id ASC) AS rn FROM c)
+    SELECT event_type, user_id AS top_user, c AS n_events FROM r WHERE rn = 1
+    """,
+)
+def a_mode_top_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent user per event_type,
+    ties broken by smallest user id. Built-in ``mode()`` is
+    arbitrary-on-ties in both engines (the D4 problem again), so the engine
+    computes it as count-rollup + ``max_by`` over a (count, -id) struct key
+    and the oracle as the equivalent ranked window — same policy as the
+    argmin/argmax family."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    key = F.struct(F.col("c").alias("c"), (-F.col("user_id")).alias("nu"))
+    win = F.max_by(F.struct(F.col("user_id").alias("u"), F.col("c").alias("n")), key)
+    return counts.groupBy("event_type").agg(win.alias("w")).select(
+        "event_type", F.col("w.u").alias("top_user"), F.col("w.n").alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets family (§2.4 "absent but available"): ROLLUP.
 # ---------------------------------------------------------------------------
