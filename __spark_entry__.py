@@ -109,6 +109,7 @@ _PRIORITY = [
     "stream_hopping_windows",
     "a_histogram_values",
     "a_mode_top_actor",
+    "o_limit_offset_page",
     # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
     #    full oracles (portable hash family / hex-decoded PCM); jaccard
     #    outputs moved to integer ppm; funnel audit persists its stages --

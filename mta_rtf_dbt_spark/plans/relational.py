@@ -717,6 +717,30 @@ def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "o_limit_offset_page",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25 OFFSET 100
+    """,
+)
+def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (§2.6 "absent in the reference, trivially
+    available") — page 5 of the price-ranked orders. Deterministic only
+    because the ordering is total (unique o_orderkey tiebreaker); Spark
+    plans offset+limit as a head take after the partial top-(k+offset),
+    still no global sort materialization."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set operations (absent in the reference; engine capability).
 # ---------------------------------------------------------------------------
