@@ -178,8 +178,14 @@ def main() -> None:
         q = stream_dedup_ingest(
             spark, stream, f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
         )
-        q.awaitTermination(600)
-        timings["stream_dedup_ingest"] = round(time.monotonic() - t0, 3)
+        # awaitTermination returns False on timeout — stop the wedged query
+        # before the tmp-dir cleanup and mark the timing as invalid rather
+        # than recording a silently-bogus number (r4 ADVICE).
+        if q.awaitTermination(600):
+            timings["stream_dedup_ingest"] = round(time.monotonic() - t0, 3)
+        else:
+            q.stop()
+            timings["stream_dedup_ingest"] = -1.0  # timed out; not a timing
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -178,8 +178,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 #   band_hash     = polynomial combine of the band's 4 values, base 1e6+3 mod P
 # All intermediates fit in signed 64-bit (P ~ 2^31, A_i < P → products < 2^62),
 # so Spark longs and DuckDB BIGINTs agree exactly.
-MINHASH_P = 2_147_483_647
-MINHASH_CHAR_BASE = 257
+# Single source of truth: functions/text.py owns the portable family's
+# modulus/base (_poly_hash_col delegates to text.poly_hash) — re-declaring
+# the literals here would let one edit silently break Spark/oracle parity
+# for minhash, simhash, and rolling fingerprints (r4 ADVICE).
+MINHASH_P = T.POLY_MOD
+MINHASH_CHAR_BASE = T.POLY_BASE
 MINHASH_BAND_BASE = 1_000_003
 
 

@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Aggregates that decompose into (partial, final) over the same column — the
-# property two-stage salting needs.
+# property two-stage salting needs. 'count' is COUNT(*) (row count, NULLs
+# included): F.count(col) would silently diverge from a COUNT(*) oracle the
+# moment the counted column holds a NULL (r4 ADVICE).
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
-    "count": (F.count, F.sum),
+    "count": (lambda _c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -62,9 +64,10 @@ def salted_agg(
     """Two-stage aggregation that spreads a hot grouping key.
 
     ``aggs`` maps output column -> (input column, fn) with fn in
-    sum/count/min/max. Stage 1 groups by (keys + salt) — hot keys split into
-    ``salt_buckets`` partial groups computed on different cores; stage 2
-    groups by keys alone over the tiny partial result.
+    sum/count/min/max (``count`` is COUNT(*); the input column is ignored).
+    Stage 1 groups by (keys + salt) — hot keys split into ``salt_buckets``
+    partial groups computed on different cores; stage 2 groups by keys alone
+    over the tiny partial result.
 
     The salt must be deterministic per row but spread within a key:
     ``pmod(hash(salt_source), n)``; ``salt_source`` defaults to all non-key

@@ -553,7 +553,8 @@ _N_HIST = 20
     f"""
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
     x AS (SELECT value,
-                 LEAST(CAST(floor((value - lo) * {_N_HIST} / (hi - lo)) AS BIGINT),
+                 LEAST(COALESCE(CAST(floor((value - lo) * {_N_HIST}
+                                           / NULLIF(hi - lo, 0)) AS BIGINT), 0),
                        {_N_HIST - 1}) AS bucket
           FROM events, b)
     SELECT bucket, COUNT(*) AS n_events,
@@ -566,12 +567,18 @@ def a_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a broadcast one-row min/max aggregate (the zorder grid pattern —
     no sampling, deterministic); the bucket expression is written with the
     identical IEEE-double operation order in both engines so floor() lands
-    identically, and the top edge clamps into the last bucket."""
+    identically, and the top edge clamps into the last bucket. The divisor is
+    NULLIF-guarded in both engines (r4 ADVICE): an all-equal ``value`` column
+    would otherwise hit double division-by-zero, where Spark and DuckDB
+    disagree — the degenerate case lands deterministically in bucket 0."""
     e = load(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     g = e.crossJoin(F.broadcast(bounds))
+    span = F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
     bucket = F.least(
-        F.floor((F.col("value") - F.col("lo")) * _N_HIST / (F.col("hi") - F.col("lo"))),
+        F.coalesce(
+            F.floor((F.col("value") - F.col("lo")) * _N_HIST / span), F.lit(0)
+        ),
         F.lit(_N_HIST - 1).cast("long"),
     )
     return g.groupBy(bucket.alias("bucket")).agg(
@@ -1013,7 +1020,7 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_array_agg_sorted",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_sorted,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types_sorted,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
            list_sort(list(DISTINCT event_type))[1] AS first_type
     FROM events GROUP BY user_id
@@ -1021,13 +1028,14 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_AGG(DISTINCT ...) — collect_set's order is partition-dependent,
-    so every emitted array is array_sort'ed (the only way an array-valued
-    aggregate can be hash-compared across engines, and the discipline any
-    deterministic pipeline needs for array outputs)."""
+    so every emitted array is array_sort'ed (the discipline any deterministic
+    pipeline needs for array outputs). The driver's pandas canonicalizer
+    cannot hash list-typed cells (r4 red row), so the sorted array is emitted
+    joined on '|' — same information, scalar column — in both engines."""
     e = load(spark, sf_dir, "events")
     arr = F.array_sort(F.collect_set("event_type"))
     return e.groupBy("user_id").agg(
-        arr.alias("types_sorted"),
+        F.array_join(arr, "|").alias("types_sorted"),
         F.size(arr).alias("n_types"),
         arr.getItem(0).alias("first_type"),
     )

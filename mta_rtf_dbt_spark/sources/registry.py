@@ -18,6 +18,7 @@ partition pruning + predicate pushdown for free; nothing here materializes.
 from __future__ import annotations
 
 import os
+import re
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,7 +104,12 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     action) and return the frame unchanged."""
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan or "InMemoryTableScan" in plan:
+        # Shuffle exchanges only: r4 ADVICE — the bare substring 'Exchange'
+        # also matches BroadcastExchange, denying the parallelism rescue to a
+        # single-partition scan that merely broadcasts a dim. \bExchange\b
+        # matches the shuffle node ('Exchange hashpartitioning...') but not
+        # 'BroadcastExchange' (no word boundary inside the token).
+        if re.search(r"\bExchange\b", plan) or "InMemoryTableScan" in plan:
             return df
     except Exception:
         pass  # fall through to the probe on any introspection failure

@@ -65,7 +65,7 @@ def test_salted_agg_matches_plain(spark):
         salt_buckets=8,
     )
     plain = e.groupBy("event_type").agg(
-        F.count("event_id").alias("n"),
+        F.count(F.lit(1)).alias("n"),  # 'count' is COUNT(*) (r4 ADVICE)
         F.max("value").alias("vmax"),
         F.min("value").alias("vmin"),
     )
