@@ -72,66 +72,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # first for periodic re-verification. The tail is entries green in the most
 # recent window (r3) — they yield the window to first-checks.
 _PRIORITY = [
-    # -- fixed this round (3-round count_if HUGEINT hash fail): re-check first --
-    "a678_counts_rates",
-    "m9_analog_completeness",
-    # -- new this round: the real MTA model surface (trip_uid chain) --
-    "mta_fact_trips_stops",
-    "mta_fact_trips",
-    "mta_fact_delays",
-    "mta_fact_alerts",
+    # -- fixed this round: the one entry never green in any round (r4 red:
+    #    driver canonicalizer vs array columns — now emitted as scalars) --
+    "a_array_agg_sorted",
+    # -- new this round: the FULL metric workload (M1-M12) driver-gated over
+    #    the real MTA fixtures (r4 verdict item 1) --
+    "mta_m1",
+    "mta_m2",
+    "mta_m3",
+    "mta_m4",
+    "mta_m7",
+    "mta_m8",
+    "mta_m9",
+    "mta_m10",
+    "mta_m11",
+    "mta_m12",
+    # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
     "mta_m5_headways",
     "mta_m6_dwell",
-    # -- never driver-checked in any round (r3 verdict "What's missing" §2) --
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "scd2_history_events",
-    "incremental_agg_merge",
-    "j_asof_latest_order",
-    "a_heavy_hitters",
-    "udtf_sentence_segments",
-    "w6_value_functions",
-    "a_array_agg_sorted",
-    "text_line_dedup",
-    "dedup_keep_list",
-    "corpus_shard_plan",
-    "shard_write_roundtrip",
-    # -- new this round: driver-gated scale techniques + hopping windows --
+    # -- changed this round: salted count -> COUNT(*), histogram divisor
+    #    guard, simhash tf pre-aggregation, single-pass funnel counts --
     "a_salted_skew_agg",
-    "j_salted_skew_join",
-    "w_hopping_windows",
-    "source_orc_roundtrip",
-    "dedup_edit_distance",
-    "m1_gapfill_spine",
-    "stream_hopping_windows",
     "a_histogram_values",
-    "a_mode_top_actor",
-    "o_limit_offset_page",
-    # -- changed this round: simhash/rolling-fingerprint/audio-energy gained
-    #    full oracles (portable hash family / hex-decoded PCM); jaccard
-    #    outputs moved to integer ppm; funnel audit persists its stages --
     "dedup_simhash",
-    "text_fingerprint_rolling",
-    "multimodal_audio_energy",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "corpus_curation_pipeline",
     "corpus_curation_funnel",
-    # -- rows-only (weaker driver check regardless; python-recompute or
-    #    property tests locally) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- round-1-green only, not re-checked since (stalest first) --
-    "q1_pricing_summary",
-    "p1_project_rename_filter",
-    "p456_predicates_case",
-    "j1_inner_join_agg",
-    "j2_left_broadcast_dims",
-    "j3_join_preagg_child",
+    # -- round-1-green only, past r4's check cutoff (stalest first;
+    #    r4 verdict item 5) --
     "j4_dim_double_alias_star",
     "j5_j7_using_cast_key",
     "j6_banded_range_join",
@@ -154,7 +120,7 @@ _PRIORITY = [
     "w4_rank_pack",
     "f_json_map_pack",
     "f_map_construct_explode",
-    # -- r1-green metric analogs --
+    # -- r1-green metric analogs (stale since r1) --
     "m1_analog_actors_per_minute",
     "m2_analog_5min_buckets",
     "m4_analog_terminal_otp",
@@ -164,7 +130,7 @@ _PRIORITY = [
     "m8_analog_excess_delay",
     "m10_analog_added_share",
     "m12_analog_wait_assessment",
-    # -- r1-green TPC-H spread --
+    # -- r1-green TPC-H spread (stale since r1) --
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -174,7 +140,53 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
-    # -- green in the r3 window (most recently verified — tail) --
+    # -- rows-only (weaker driver check regardless — r4 rows recorded;
+    #    python-recompute or property tests locally) --
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- green in the r4 window (most recently verified — tail) --
+    "a678_counts_rates",
+    "m9_analog_completeness",
+    "mta_fact_trips_stops",
+    "mta_fact_trips",
+    "mta_fact_delays",
+    "mta_fact_alerts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "scd2_history_events",
+    "incremental_agg_merge",
+    "j_asof_latest_order",
+    "a_heavy_hitters",
+    "udtf_sentence_segments",
+    "w6_value_functions",
+    "text_line_dedup",
+    "dedup_keep_list",
+    "corpus_shard_plan",
+    "shard_write_roundtrip",
+    "j_salted_skew_join",
+    "w_hopping_windows",
+    "source_orc_roundtrip",
+    "dedup_edit_distance",
+    "m1_gapfill_spine",
+    "stream_hopping_windows",
+    "a_mode_top_actor",
+    "o_limit_offset_page",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "corpus_curation_pipeline",
+    "q1_pricing_summary",
+    "p1_project_rename_filter",
+    "p456_predicates_case",
+    "j1_inner_join_agg",
+    "j2_left_broadcast_dims",
+    "j3_join_preagg_child",
+    # -- green in the r3 window --
     "m3_analog_service_delivered",
     "m11_analog_latency",
     "w5_range_interval_frame",

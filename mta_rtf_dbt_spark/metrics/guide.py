@@ -183,7 +183,8 @@ def m4_terminal_otp(
     return (
         sched.join(fe, ["route_id", "direction_id"], "left")
         .groupBy("route_id", "direction_id")
-        .agg((100 * bq.rate(diff_min.between(0, on_time_min))).alias("otp_pct"))
+        # round 6: the engine's float-output discipline (hash-comparable)
+        .agg(F.round(100 * bq.rate(diff_min.between(0, on_time_min)), 6).alias("otp_pct"))
         .orderBy("route_id", "direction_id")
     )
 
@@ -391,9 +392,10 @@ def m12_wait_assessment(models, src, stop_ref: str, anchor_date: str, tz: str = 
         .filter(F.col("headway_s").isNotNull() & F.col("sched_headway_s").isNotNull())
         .groupBy("route_id", "direction_id")
         .agg(
-            (100 * bq.rate(F.col("headway_s") <= 2 * F.col("sched_headway_s"))).alias(
-                "wait_assessment_pct"
-            )
+            # round 6: the engine's float-output discipline (hash-comparable)
+            F.round(
+                100 * bq.rate(F.col("headway_s") <= 2 * F.col("sched_headway_s")), 6
+            ).alias("wait_assessment_pct")
         )
         .orderBy("route_id", "direction_id")
     )

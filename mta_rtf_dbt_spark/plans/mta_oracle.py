@@ -197,3 +197,232 @@ FACT_DELAYS = f"CREATE OR REPLACE VIEW o_fact_delays AS\n{FACT_DELAYS_BODY}"
 FACT_ALERTS = f"CREATE OR REPLACE VIEW o_fact_alerts AS\n{FACT_ALERTS_BODY}"
 
 MODEL_VIEWS = [FACT_TRIPS_STOPS, FACT_TRIPS, FACT_DELAYS, FACT_ALERTS]
+
+
+# ---------------------------------------------------------------------------
+# M1-M12 metric oracle SQL (docs/metrics_guide.md:22-377) — written against
+# the o_fact_* views/CTEs above plus the raw static tables, with the
+# canonical test parameters. Single source of truth: tests/test_mta_metrics
+# runs these against registered views; plans/mta_driver nests them after
+# read_parquet fixture CTEs for the driver's independent hash gate.
+#
+# Driver-hash discipline: COUNT/count_if outputs CAST AS BIGINT (DuckDB
+# count_if yields HUGEINT -> decimal128 in Arrow, which breaks the value
+# hash), ratios as integer ppm or ROUND(.., 6) doubles mirrored on the Spark
+# side.
+# ---------------------------------------------------------------------------
+DAY = "2025-11-01"
+START = "2025-11-01 06:00:00"
+END = "2025-11-02 23:00:00"
+STOP_A, STOP_B = "R14N", "R16N"
+
+NY_CIVIL = "CAST({c} AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP)"
+
+
+def ny_time(c: str) -> str:
+    return f"strftime({NY_CIVIL.format(c=c)}, '%H:%M:%S')"
+
+
+TRUNC_DIV_SEC = (
+    "CAST((epoch_us({a}) - epoch_us({b}) - ((epoch_us({a}) - epoch_us({b})) % 1000000))"
+    " // 1000000 AS BIGINT)"
+)
+TRUNC_DIV_MIN = (
+    "CAST((epoch_us({a}) - epoch_us({b}) - ((epoch_us({a}) - epoch_us({b})) % 60000000))"
+    " // 60000000 AS BIGINT)"
+)
+
+# GTFS "HH:MM:SS" (possibly >= 24:00:00, D10) anchored to DAY — interval adds
+# roll over midnight exactly like the engine's gtfs_time_to_ts.
+_GTFS_TS = f"""TIMESTAMP '{DAY} 00:00:00'
+               + CAST(split_part({{t}}, ':', 1) AS BIGINT) * INTERVAL 1 HOUR
+               + CAST(split_part({{t}}, ':', 2) AS BIGINT) * INTERVAL 1 MINUTE
+               + CAST(split_part({{t}}, ':', 3) AS BIGINT) * INTERVAL 1 SECOND"""
+
+# Shared scheduled-side CTE chain for M3/M4 (metrics_guide.md:63-127):
+# active services by calendar day flags, terminal stop per trip, scheduled
+# departure window, and the argmin first-event per (route, dir, trip_uid).
+SCHED_CTES = f"""
+cal AS (
+  SELECT service_id FROM calendar
+  WHERE start_date <= DATE '{DAY}' AND end_date >= DATE '{DAY}'
+    AND ((dayofweek(DATE '{DAY}') + 1 = 1 AND sunday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 2 AND monday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 3 AND tuesday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 4 AND wednesday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 5 AND thursday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 6 AND friday = 1) OR
+         (dayofweek(DATE '{DAY}') + 1 = 7 AND saturday = 1))
+),
+ta AS (SELECT t.trip_id, t.route_id, t.direction_id FROM trips t JOIN cal USING (service_id)),
+fstop AS (SELECT trip_id, MIN(TRY_CAST(stop_sequence AS BIGINT)) AS min_seq
+          FROM stop_times GROUP BY 1),
+sched AS (
+  SELECT ta.route_id, ta.direction_id, ta.trip_id,
+         {_GTFS_TS.format(t="st.departure_time")} AS sched_departure_ts
+  FROM ta
+  JOIN fstop ON fstop.trip_id = ta.trip_id
+  JOIN stop_times st ON st.trip_id = ta.trip_id
+   AND CAST(st.stop_sequence AS VARCHAR) = CAST(fstop.min_seq AS VARCHAR)
+),
+wl AS (SELECT * FROM sched
+       WHERE {ny_time('sched_departure_ts')} BETWEEN '06:00:00' AND '10:00:00'),
+fe0 AS (
+  SELECT route_id, direction_id, trip_uid, stop_sequence_int, stu_id,
+         coalesce(departure_ts_utc, arrival_ts_utc) AS evt
+  FROM o_fact_trips_stops
+),
+fe1 AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY route_id, direction_id, trip_uid
+      ORDER BY (CASE WHEN stop_sequence_int IS NULL THEN 0 ELSE 1 END),
+               stop_sequence_int ASC, stu_id ASC) AS rn
+  FROM fe0 WHERE evt IS NOT NULL
+),
+fe AS (SELECT route_id, direction_id, trip_uid, evt AS first_evt FROM fe1 WHERE rn = 1)
+"""
+
+METRIC_SQL: dict[str, str] = {}
+
+METRIC_SQL["m1"] = f"""
+SELECT route_id, direction_id, date_trunc('minute', feed_ts_utc) AS ts_minute,
+       count(DISTINCT trip_uid) AS trips_observed
+FROM o_fact_trips_stops
+WHERE feed_ts_utc BETWEEN TIMESTAMP '{START}' AND TIMESTAMP '{END}'
+GROUP BY 1, 2, 3
+"""
+
+METRIC_SQL["m2"] = f"""
+SELECT route_id, direction_id,
+       CAST(to_timestamp(300 * (CAST(floor(epoch_us(feed_ts_utc)/1000000.0) AS BIGINT) // 300)) AS TIMESTAMP) AS ts_5min,
+       count(DISTINCT trip_uid) AS trips_observed
+FROM o_fact_trips_stops
+WHERE feed_ts_utc BETWEEN TIMESTAMP '{START}' AND TIMESTAMP '{END}'
+GROUP BY 1, 2, 3
+"""
+
+METRIC_SQL["m3"] = f"""
+WITH {SCHED_CTES},
+aiw AS (SELECT route_id, direction_id, trip_uid FROM fe
+        WHERE {ny_time('first_evt')} BETWEEN '06:00:00' AND '10:00:00')
+SELECT s.route_id, s.direction_id,
+       count(DISTINCT s.trip_id) AS scheduled_trips,
+       count(DISTINCT a.trip_uid) AS delivered_trips,
+       CAST(count(DISTINCT a.trip_uid) * 1000000 // NULLIF(count(DISTINCT s.trip_id), 0) AS BIGINT) AS service_delivered_ppm
+FROM wl s LEFT JOIN aiw a USING (route_id, direction_id)
+GROUP BY 1, 2
+"""
+
+METRIC_SQL["m4"] = f"""
+WITH {SCHED_CTES},
+fe2 AS (SELECT route_id, direction_id, first_evt FROM fe)
+SELECT s.route_id, s.direction_id,
+       ROUND(100 * AVG(CASE WHEN {TRUNC_DIV_MIN.format(a="f.first_evt", b="s.sched_departure_ts")}
+                            BETWEEN 0 AND 5 THEN 1 ELSE 0 END), 6) AS otp_pct
+FROM wl s LEFT JOIN fe2 f USING (route_id, direction_id)
+GROUP BY 1, 2
+"""
+
+METRIC_SQL["m5"] = f"""
+WITH seen AS (
+  SELECT date_trunc('second', event_ts_utc) AS pass_ts, route_id, direction_id, trip_uid
+  FROM o_fact_trips_stops
+  WHERE stop_id = '{STOP_A}'
+    AND CAST({NY_CIVIL.format(c='event_ts_utc')} AS DATE) = DATE '{DAY}'
+),
+dedup AS (SELECT * FROM seen
+          QUALIFY row_number() OVER (PARTITION BY trip_uid ORDER BY pass_ts) = 1),
+ordered AS (SELECT *, row_number() OVER (ORDER BY pass_ts, trip_uid) AS rn,
+                   lag(pass_ts) OVER (PARTITION BY route_id, direction_id
+                                      ORDER BY pass_ts, trip_uid) AS prev_ts
+            FROM dedup)
+SELECT route_id, direction_id, pass_ts,
+       CASE WHEN prev_ts IS NULL THEN NULL
+            ELSE {TRUNC_DIV_SEC.format(a="pass_ts", b="prev_ts")} END AS headway_s
+FROM ordered WHERE rn > 1
+"""
+
+METRIC_SQL["m6"] = f"""
+SELECT route_id, direction_id, stop_id, trip_uid,
+       {TRUNC_DIV_SEC.format(a="departure_ts_utc", b="arrival_ts_utc")} AS dwell_s
+FROM o_fact_trips_stops
+WHERE arrival_ts_utc IS NOT NULL AND departure_ts_utc IS NOT NULL
+"""
+
+METRIC_SQL["m7"] = f"""
+WITH a AS (SELECT trip_uid, coalesce(departure_ts_utc, arrival_ts_utc) AS ts_a
+           FROM o_fact_trips_stops WHERE stop_id = '{STOP_A}'),
+b AS (SELECT trip_uid, coalesce(arrival_ts_utc, departure_ts_utc) AS ts_b
+      FROM o_fact_trips_stops WHERE stop_id = '{STOP_B}')
+SELECT ta.trip_uid, {TRUNC_DIV_SEC.format(a="tb.ts_b", b="ta.ts_a")} AS runtime_s
+FROM a ta JOIN b tb USING (trip_uid)
+WHERE tb.ts_b >= ta.ts_a
+"""
+
+METRIC_SQL["m8"] = f"""
+WITH sched AS (
+  SELECT t.route_id, t.direction_id, st.trip_id, st.stop_id,
+         {_GTFS_TS.format(t="st.departure_time")} AS sched_departure_ts
+  FROM stop_times st JOIN trips t USING (trip_id)
+  WHERE st.stop_id = '{STOP_A}'
+),
+actual AS (SELECT route_id, direction_id, stop_id, trip_uid,
+                  coalesce(departure_ts_utc, arrival_ts_utc) AS actual_ts
+           FROM o_fact_trips_stops WHERE stop_id = '{STOP_A}')
+SELECT a.route_id, a.direction_id, a.stop_id,
+       ROUND(CAST(quantile_cont(CAST({TRUNC_DIV_SEC.format(a="a.actual_ts", b="s.sched_departure_ts")} AS DOUBLE), 0.5) AS DOUBLE), 6) AS p50_delay_s,
+       ROUND(CAST(quantile_cont(CAST({TRUNC_DIV_SEC.format(a="a.actual_ts", b="s.sched_departure_ts")} AS DOUBLE), 0.9) AS DOUBLE), 6) AS p90_delay_s
+FROM actual a JOIN sched s USING (route_id, direction_id)
+GROUP BY 1, 2, 3
+"""
+
+METRIC_SQL["m9"] = """
+WITH agg AS (
+  SELECT trip_uid,
+         count_if(coalesce(arrival_ts_utc, departure_ts_utc) IS NOT NULL) AS stops_seen
+  FROM o_fact_trips_stops GROUP BY trip_uid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS trips_total,
+       CAST(count_if(stops_seen >= 2) AS BIGINT) AS trips_with_start_and_end,
+       CAST(count_if(stops_seen >= 2) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT) AS completeness_ppm
+FROM agg
+"""
+
+METRIC_SQL["m10"] = """
+SELECT route_id, direction_id,
+       ROUND(100 * AVG(CASE WHEN schedule_relationship = 'ADDED' THEN 1 ELSE 0 END), 6) AS added_pct,
+       ROUND(100 * AVG(CASE WHEN schedule_relationship = 'CANCELED' THEN 1 ELSE 0 END), 6) AS canceled_pct
+FROM o_fact_trips GROUP BY 1, 2
+"""
+
+METRIC_SQL["m11"] = f"""
+SELECT route_id, direction_id, date_trunc('minute', first_feed_ts_utc) AS ts_minute,
+       ROUND(AVG({TRUNC_DIV_SEC.format(
+           a="CAST(CAST(first_ingest_ts AS TIMESTAMPTZ) AS TIMESTAMP)",
+           b="first_feed_ts_utc")}), 6) AS avg_latency_s
+FROM o_fact_trips GROUP BY 1, 2, 3
+"""
+
+METRIC_SQL["m12"] = f"""
+WITH obs AS (SELECT route_id, direction_id, date_trunc('second', event_ts_utc) AS pass_ts
+             FROM o_fact_trips_stops WHERE stop_id = '{STOP_A}'),
+obs_hw AS (SELECT route_id, direction_id,
+                  CASE WHEN prev_ts IS NULL THEN NULL
+                       ELSE {TRUNC_DIV_SEC.format(a="pass_ts", b="prev_ts")} END AS headway_s
+           FROM (SELECT *, lag(pass_ts) OVER (PARTITION BY route_id, direction_id
+                                              ORDER BY pass_ts) AS prev_ts FROM obs)),
+sch AS (SELECT t.route_id, t.direction_id,
+               {_GTFS_TS.format(t="st.departure_time")} AS sched_ts
+        FROM stop_times st JOIN trips t USING (trip_id)
+        WHERE st.stop_id = '{STOP_A}'),
+sch_hw AS (SELECT route_id, direction_id,
+                  CASE WHEN prev_sched IS NULL THEN NULL
+                       ELSE {TRUNC_DIV_SEC.format(a="sched_ts", b="prev_sched")} END AS sched_headway_s
+           FROM (SELECT *, lag(sched_ts) OVER (PARTITION BY route_id, direction_id
+                                               ORDER BY sched_ts) AS prev_sched FROM sch))
+SELECT o.route_id, o.direction_id,
+       ROUND(100 * AVG(CASE WHEN o.headway_s <= 2 * s.sched_headway_s THEN 1 ELSE 0 END), 6) AS wait_assessment_pct
+FROM obs_hw o JOIN sch_hw s USING (route_id, direction_id)
+WHERE o.headway_s IS NOT NULL AND s.sched_headway_s IS NOT NULL
+GROUP BY 1, 2
+"""
