@@ -441,11 +441,19 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("tok"),
     ).withColumn("hb", _poly_hash_col(F.col("tok")))
+    # Collapse to term frequency per (doc, token-hash) BEFORE the 64-sum wide
+    # aggregate (r5: sf0.1 profile showed the 64 modular multiply-add-parity
+    # expressions dominating): they then evaluate once per DISTINCT token
+    # instead of once per occurrence, and each bit sums ±tf — identical
+    # signatures by construction (parity depends only on hb).
+    tf = toks.groupBy("doc_id", "hb").agg(F.count(F.lit(1)).alias("tf"))
     seeds = _minhash_seeds(64)
-    bit_sums = toks.groupBy("doc_id").agg(
+    bit_sums = tf.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, 1).otherwise(-1)
+                F.when(
+                    ((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(seeds)
         ]

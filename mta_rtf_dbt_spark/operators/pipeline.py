@@ -83,6 +83,7 @@ def curate(
     quota: int = SOURCE_QUOTA,
     heldout_mod: int = HELDOUT_MOD,
     max_posting: int = MAX_POSTING,
+    persist_base: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation funnel; return every intermediate stage keyed by
     name (``quality``, ``deduped``, ``train_candidates``, ``contaminated``,
@@ -105,6 +106,12 @@ def curate(
     4. **mixed** — per-``source`` quota in deterministic LCG order
        (:func:`operators.sampling.mix_source_quota`): no single domain
        dominates the mix.
+
+    ``persist_base=True`` caches the tokenized base relation — for audit
+    callers that aggregate over base AND run the funnel (two consumers of
+    one tokenize pass; the funnel entry's r4 cost was exactly this rescan).
+    At 100 TB this stage would be staged to parquet for the same reason,
+    not RAM-cached.
     """
     docs = spread(docs)
     toks = T.tokens(T.normalize(F.col("text")))
@@ -122,6 +129,8 @@ def curate(
         ).alias("lexdiv"),
         T.fingerprint_sha(F.col("text")).alias("content_hash"),
     )
+    if persist_base:
+        base = scoped_persist(base, "pipeline.base")
     quality = base.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("lexdiv") >= min_lexdiv)
     )
@@ -135,7 +144,10 @@ def curate(
     # (via callers) funnel counts — one cache, many subtrees
     deduped = scoped_persist(deduped, "pipeline.deduped")
 
-    heldout_sh = shingles(docs.filter(F.col("doc_id") % heldout_mod == 0), 3)
+    # held-out split comes from the RAW corpus (pre-quality) — base is the
+    # same rows projected (Catalyst prunes the computed columns; when
+    # persist_base is on this reads the cache instead of rescanning)
+    heldout_sh = shingles(base.filter(F.col("doc_id") % heldout_mod == 0), 3)
     train_candidates = deduped.filter(F.col("doc_id") % heldout_mod != 0)
     train_sh = shingles(train_candidates, 3)
     contaminated = (
@@ -317,28 +329,45 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production curation run logs). Long format (stage, n) so adding a stage
     is a new row, not a schema change.
 
-    The 7-way count union re-enters the funnel plan once per stage, so the
-    fan-out stages are persisted first (``deduped`` already is, inside
-    ``curate``): Spark's cache manager matches by canonicalized subtree, so
-    every later stage's count reuses the materialized prefix instead of
-    rebuilding base -> quality -> ... per row (r3 verdict perf item — at
-    100 TB the unpersisted audit would rescan the corpus several times)."""
-    stages = curate(load(spark, sf_dir, "documents"))
-    stages["quality"] = scoped_persist(stages["quality"], "pipeline.audit.quality")
-    stages["clean"] = scoped_persist(stages["clean"], "pipeline.audit.clean")
-    spark_names = {
-        "1_raw": "base",
-        "2_quality": "quality",
-        "3_deduped": "deduped",
-        "4_train_candidates": "train_candidates",
-        "5_contaminated": "contaminated",
-        "6_clean": "clean",
-        "7_mixed": "mixed",
-    }
-    counts = None
-    for label, key in spark_names.items():
-        one = stages[key].agg(
-            F.lit(label).alias("stage"), F.count(F.lit(1)).alias("n")
+    Single-pass shape (r4 verdict perf item — the previous 7-way count UNION
+    re-entered the funnel plan seven times, executing the contamination join
+    twice): raw+quality come from ONE conditional aggregate over the base
+    scan, deduped+train_candidates from ONE aggregate over the (already
+    persisted) dedup relation, and the contaminated count is derived as
+    ``train_candidates - clean`` — contaminated docs are by construction a
+    subset of train_candidates (their shingles come from it), so the
+    anti-join count determines it without executing the contamination join a
+    second time. Total heavy work: one corpus scan, one dedup window, one
+    contamination join (inside the persisted ``clean``), one mixing window —
+    each exactly once, which is also the 100 TB shape."""
+    stages = curate(load(spark, sf_dir, "documents"), persist_base=True)
+    clean = scoped_persist(stages["clean"], "pipeline.audit.clean")
+    q_cond = (F.col("n_tokens") >= MIN_TOKENS) & (F.col("lexdiv") >= MIN_LEXDIV)
+    agg_base = stages["base"].agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(q_cond, 1).otherwise(0)).cast("long").alias("n_quality"),
+    )
+    agg_dedup = stages["deduped"].agg(
+        F.count(F.lit(1)).alias("n_deduped"),
+        F.sum(F.when(F.col("doc_id") % HELDOUT_MOD != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+    agg_clean = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    # mixed's plan contains clean as a subtree — the cache manager
+    # substitutes the persisted relation, so the mixing window reads the
+    # cached anti-join output rather than re-running it
+    agg_mixed = stages["mixed"].agg(F.count(F.lit(1)).alias("n_mixed"))
+    one = agg_base.crossJoin(agg_dedup).crossJoin(agg_clean).crossJoin(agg_mixed)
+    return one.select(
+        F.expr(
+            "stack(7,"
+            " '1_raw', n_raw,"
+            " '2_quality', n_quality,"
+            " '3_deduped', n_deduped,"
+            " '4_train_candidates', n_train,"
+            " '5_contaminated', n_train - n_clean,"
+            " '6_clean', n_clean,"
+            " '7_mixed', n_mixed) AS (stage, n)"
         )
-        counts = one if counts is None else counts.unionAll(one)
-    return counts
+    )

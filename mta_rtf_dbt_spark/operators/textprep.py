@@ -86,19 +86,29 @@ def contamination_pairs(
     Scale: identical posting-join shape to dedup's exact baseline — one
     shuffle on the shingle key, hot shingles (df >= max_posting across both
     relations) dropped before the join so corpus boilerplate can't go
-    quadratic. The capped path persists its fan-out relations (each input
-    feeds the df-count union AND a keep-join; the capped test side feeds the
-    per-doc count AND the match join) so the shingle explodes run once per
-    relation, not once per consumer — at cluster scale these persists are
-    the staging writes a production decontamination job does anyway."""
+    quadratic. The cap is a COUNT window over the unioned sides riding that
+    single shingle exchange (r5 reshape — the earlier groupBy-df + keep-join
+    form persisted both full shingle relations and shuffled the big relation
+    three times); the one persisted relation is the post-cap index, whose
+    cached hash-partitioning (and sort, from the window) both sides of the
+    posting self-join reuse without a new exchange — at cluster scale this
+    persist is the staging write a production decontamination job does
+    anyway."""
     if max_posting is not None:
-        test_sh = scoped_persist(test_sh, "contam.test_sh")
-        train_sh = scoped_persist(train_sh, "contam.train_sh")
-        union = test_sh.select("shingle").unionAll(train_sh.select("shingle"))
-        dfreq = union.groupBy("shingle").agg(F.count("*").alias("__df"))
-        keep = dfreq.filter(F.col("__df") < max_posting).select("shingle")
-        test_sh = scoped_persist(test_sh.join(keep, "shingle"), "contam.test_kept")
-        train_sh = train_sh.join(keep, "shingle")
+        from pyspark.sql import Window
+
+        both = test_sh.select(
+            "doc_id", "shingle", F.lit("t").alias("__side")
+        ).unionAll(train_sh.select("doc_id", "shingle", F.lit("r").alias("__side")))
+        w = Window.partitionBy("shingle")
+        capped = (
+            both.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") < max_posting)
+            .drop("__df")
+        )
+        capped = scoped_persist(capped, "contam.capped")
+        test_sh = capped.filter(F.col("__side") == "t").drop("__side")
+        train_sh = capped.filter(F.col("__side") == "r").drop("__side")
     test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
     common = (
         test_sh.alias("t")
