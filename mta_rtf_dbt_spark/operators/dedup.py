@@ -422,12 +422,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # SimHash — Hamming-space near-dup signatures.
 # ---------------------------------------------------------------------------
-N_SIMHASH_BANDS = 8          # 8 bands x 8 bits: banding finds every pair
-_BITS = 64 // N_SIMHASH_BANDS  # with Hamming <= N_SIMHASH_BANDS-1 (pigeonhole)
+# 4 bands x 16 bits (r5, was 8x8): pigeonhole still finds EVERY pair with
+# Hamming <= N_SIMHASH_BANDS-1 = 3 — the production threshold for 64-bit
+# document simhash (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+# Crawling", WWW'07) — while random band collisions drop from p=1/2^8 to
+# p=1/2^16 per band: candidate volume n^2*bands/2^bits falls 256x, the
+# difference between a banded join and a disguised all-pairs at corpus scale
+# (measured sf0.1: the 8x8 candidate join produced ~n^2/32 pairs).
+N_SIMHASH_BANDS = 4
+_BITS = 64 // N_SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = N_SIMHASH_BANDS - 1  # radius the banding guarantees
 
 
 def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash packed as 8x8-bit band values (band-join-ready, no
+    """64-bit SimHash packed as 4x16-bit band values (band-join-ready, no
     sign-bit games). Token weights = term frequency; bit contributions summed
     per document via explode + 64 conditional sums (all codegen).
 
@@ -441,19 +449,15 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("tok"),
     ).withColumn("hb", _poly_hash_col(F.col("tok")))
-    # Collapse to term frequency per (doc, token-hash) BEFORE the 64-sum wide
-    # aggregate (r5: sf0.1 profile showed the 64 modular multiply-add-parity
-    # expressions dominating): they then evaluate once per DISTINCT token
-    # instead of once per occurrence, and each bit sums ±tf — identical
-    # signatures by construction (parity depends only on hb).
-    tf = toks.groupBy("doc_id", "hb").agg(F.count(F.lit(1)).alias("tf"))
+    # (r5 note: pre-aggregating term frequency per (doc, hb) before this wide
+    # aggregate was measured SLOWER at sf0.1 — synthetic docs are mostly
+    # distinct tokens, so the extra shuffle buys nothing; the 64 conditional
+    # sums in one map-side-combined agg remain the best shape.)
     seeds = _minhash_seeds(64)
-    bit_sums = tf.groupBy("doc_id").agg(
+    bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    ((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, F.col("tf")
-                ).otherwise(-F.col("tf"))
+                F.when(((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, 1).otherwise(-1)
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(seeds)
         ]
@@ -468,12 +472,15 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return bit_sums.select("doc_id", *bands)
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Candidates share >= 1 of 8 bands — by pigeonhole this finds *every*
-    pair with Hamming <= 7, so the max_hamming=6 filter loses nothing — then
-    exact Hamming distance filter. The signature relation feeds the banded
-    self-join and both Hamming sides: persist so the 64-sum aggregate runs
-    once, not three times."""
+def simhash_pairs(sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Candidates share >= 1 of the 4 bands — by pigeonhole this finds
+    *every* pair with Hamming <= 3, so the default filter loses nothing —
+    then exact Hamming distance filter. (A larger ``max_hamming`` than the
+    guaranteed radius returns only band-colliding pairs — recall is no
+    longer total; Manku et al.'s k=3 is the radius this banding is sized
+    for.) The signature relation feeds the banded self-join and both
+    Hamming sides: persist so the 64-sum aggregate runs once, not three
+    times."""
     sigs = scoped_persist(sigs, "simhash.sigs")
     banded = sigs.select(
         "doc_id",
@@ -507,7 +514,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-def _simhash_sql(max_hamming: int = 6) -> str:
+def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     """DuckDB replay of the FULL SimHash pipeline — portable per-bit parity
     hashes, sign sums, band packing, pigeonhole candidate join, exact Hamming
     — so the signature path is oracle-checked end to end (r3 verdict item 6:
@@ -631,9 +638,10 @@ def dedup_edit_distance(spark, sf_dir):
 
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 6 over 64 bits). Fully
-    oracle-checked since r4: portable polynomial bit hashes mean DuckDB
-    reproduces signatures, band values, the candidate set AND the Hamming
-    distances bit-for-bit. Tests additionally assert the known exact
-    near-dup pairs are recovered."""
+    """SimHash near-dup pairs (Hamming <= 3 over 64 bits, Manku et al.'s
+    production radius; 4x16-bit pigeonhole bands). Fully oracle-checked
+    since r4: portable polynomial bit hashes mean DuckDB reproduces
+    signatures, band values, the candidate set AND the Hamming distances
+    bit-for-bit. Tests additionally assert the known exact near-dup pairs
+    are recovered."""
     return simhash_pairs(simhash_bands(load(spark, sf_dir, "documents")))

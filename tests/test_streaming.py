@@ -413,3 +413,23 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 4
     assert spark.read.parquet(index).count() == 4
+
+    # The index landed as a table BUCKETED on content_hash (r4 verdict item
+    # 3): in a non-broadcast anti-join the bucketed scan satisfies its
+    # side's distribution, so the ONLY shuffle exchange is the batch side —
+    # at 100 TB the billion-row index is never re-exchanged per micro-batch.
+    import hashlib
+
+    idx_table = "dedup_idx_" + hashlib.sha256(index.encode()).hexdigest()[:12]
+    assert spark.catalog.tableExists(idx_table)
+    batch = spark.createDataFrame([(9, "h1"), (10, "h2")], ["doc_id", "content_hash"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.join(
+            spark.table(idx_table).select("content_hash"), "content_hash", "left_anti"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
