@@ -90,8 +90,12 @@ _PRIORITY = [
     # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
     "mta_m5_headways",
     "mta_m6_dwell",
+    # -- new this round: portable-HLL sketch column + deterministic
+    #    TABLESAMPLE (the two r4 "minor missing" items) --
+    "a_hll_portable",
+    "s_tablesample_hash",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
-    #    guard, simhash tf pre-aggregation, single-pass funnel counts --
+    #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",
     "a_histogram_values",
     "dedup_simhash",

@@ -138,6 +138,135 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable HLL (r5): a HyperLogLog whose register state is REPRODUCIBLE
+# across engines — the BigQuery HLL_COUNT.* sketch-column analogue the r4
+# verdict listed as the remaining sketch gap. The native datasketches path
+# above stays the production estimator; this one trades library internals
+# for an explicit integer hash family so the driver can hash-verify the
+# whole sketch lifecycle (init -> partial per shard -> merge -> extract):
+#
+#   h      = ((x mod P) * A + B) mod P          (affine stage)
+#   g      = (h*h + h) mod P                    (quadratic mix — an affine
+#            map alone is an arithmetic progression mod 2^8: ZERO register
+#            collisions on sequential ids, which silently breaks the
+#            Poisson model every HLL estimator assumes; squaring mod P
+#            restores random-looking low bits, verified against the
+#            256*(1-e^-n/m) expectation)
+#   bucket = g mod 256                          (m = 2^8 registers)
+#   w      = g div 256                          (23 payload bits)
+#   rho    = 24 - bitlength(w), 24 if w = 0     (leading-zero rank)
+#
+# All integer ops fit signed 64-bit in both engines (h < 2^31 so h*h + h <
+# 2^62); bitlength is length(bin(w)) in BOTH Spark and DuckDB. The estimate
+# uses the raw HLL formula alpha*m^2 / sum(2^-M_j): every 2^-M_j is an
+# exact dyadic double (integer shift, no libm pow) and the sums/divides are
+# IEEE-identical left-to-right, so even the float-derived column
+# hash-matches (the small/large-range ln corrections are deliberately
+# omitted; register state, not the estimator constant, is what merging at
+# 100 TB has to get right — test_sketches applies linear counting FROM the
+# emitted state to prove accuracy in the small-range regime).
+# ---------------------------------------------------------------------------
+HLL_P = 2_147_483_647
+HLL_A = 1_103_515_245
+HLL_B = 12_345
+HLL_BUCKETS = 256
+HLL_MAXRHO = 24
+# alpha_256 * m^2 precomputed in Python and inlined as an explicit DOUBLE:
+# bare decimal literals parse as DECIMAL in both engines, whose scale rules
+# differ -> 1-ulp divergence (observed in the driver hash)
+_HLL_ALPHA_M2 = f"CAST({0.7213 / (1.0 + 1.079 / HLL_BUCKETS) * HLL_BUCKETS * HLL_BUCKETS!r} AS DOUBLE)"
+
+
+def hll_portable_merge(
+    df: DataFrame, shard_col: str, keys: list[str], col: str
+) -> DataFrame:
+    """Per-(shard, group) portable-HLL partials merged per group: partial =
+    max rho per register, merge = elementwise max — the associative rollup a
+    daily-partitioned table persists. Output per group: filled-register
+    count, an order-free integer register checksum, and the raw estimate."""
+    x = F.pmod(F.col(col).cast("long"), F.lit(HLL_P))
+    h = F.pmod(x * HLL_A + HLL_B, F.lit(HLL_P))
+    g = F.pmod(h * h + h, F.lit(HLL_P))
+    bucket = F.pmod(g, F.lit(HLL_BUCKETS))
+    # g < 2^31 is exact in double, so floor-div via double division is safe
+    w = F.floor(g / F.lit(HLL_BUCKETS)).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_MAXRHO)).otherwise(
+        F.lit(HLL_MAXRHO) - F.length(F.bin(w))
+    )
+    partials = (
+        df.select(*keys, F.col(shard_col).alias("__shard"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "__shard", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    merged = partials.groupBy(*keys, "bucket").agg(F.max("m_rho").alias("m_rho"))
+    # 2^-M as 1.0/(1<<M): integer shift + one division — exact dyadic, no
+    # libm pow, so the double is bit-identical across engines
+    denom = F.sum(
+        F.lit(1.0) / F.expr("shiftleft(1L, CAST(m_rho AS INT))")
+    ) + (F.lit(HLL_BUCKETS) - F.count(F.lit(1))).cast("double")
+    # estimate emitted in integer micro-units via floor: ROUND(x, 6) is a
+    # decimal-rounding op whose half-way rule differs between engines (1-ulp
+    # driver mismatch observed); floor of an identical double is identical
+    return merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum((F.col("bucket") + 1) * F.col("m_rho")).cast("long").alias("register_chk"),
+        F.floor(F.expr(_HLL_ALPHA_M2) / denom * 1000000.0)
+        .cast("long")
+        .alias("hll_raw_estimate_micro"),
+    )
+
+
+@q(
+    "a_hll_portable",
+    f"""
+    WITH h AS (
+      SELECT event_type, event_id % 8 AS shard,
+             ((user_id % {HLL_P}) * {HLL_A} + {HLL_B}) % {HLL_P} AS hv
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, shard, (hv * hv + hv) % {HLL_P} AS gv FROM h
+    ),
+    reg AS (
+      SELECT event_type, shard, gv % {HLL_BUCKETS} AS bucket,
+             CASE WHEN gv // {HLL_BUCKETS} = 0 THEN {HLL_MAXRHO}
+                  ELSE {HLL_MAXRHO} - length(bin(gv // {HLL_BUCKETS})) END AS rho
+      FROM g
+    ),
+    partials AS (
+      SELECT event_type, shard, bucket, MAX(rho) AS m_rho
+      FROM reg GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, MAX(m_rho) AS m_rho
+      FROM partials GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(SUM((bucket + 1) * m_rho) AS BIGINT) AS register_chk,
+           CAST(floor(({_HLL_ALPHA_M2}) /
+                 (SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << m_rho))
+                  + CAST({HLL_BUCKETS} - COUNT(*) AS DOUBLE))
+                 * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+             AS hll_raw_estimate_micro
+    FROM merged GROUP BY event_type
+    """,
+)
+def a_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch COLUMN with engine-reproducible
+    register state: shard partials -> elementwise-max merge -> raw HLL
+    estimate, all hash-verified against DuckDB replaying the identical
+    integer hash family (error bound vs exact asserted in test_sketches)."""
+    e = load(spark, sf_dir, "events")
+    return hll_portable_merge(
+        e.withColumn("__s", (F.col("event_id") % 8).cast("long")),
+        "__s",
+        ["event_type"],
+        "user_id",
+    )
+
+
 @q(
     "a_heavy_hitters",
     """

@@ -749,6 +749,41 @@ def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.6 extension — deterministic TABLESAMPLE (hash-bernoulli). Engine-native
+# TABLESAMPLE is nondeterministic across engines/runs; the reproducible
+# pipeline form keys the coin flip on a universal hash of the row key, so
+# the sample is a pure filter: pushes to the scan, no shuffle, and the same
+# rows come back on every engine (SURVEY §2.6 noted TABLESAMPLE absent in
+# the reference; this is the form a 100 TB sampling job should use anyway).
+# ---------------------------------------------------------------------------
+_TS_P = 2_147_483_647  # same universal family as the sketch/minhash hashes
+_TS_A = 1_103_515_245
+_TS_B = 12_345
+_TS_PCT = 10
+
+
+@q(
+    "s_tablesample_hash",
+    f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (((event_id % {_TS_P}) * {_TS_A} + {_TS_B}) % {_TS_P}) % 100 < {_TS_PCT}
+    """,
+)
+def s_tablesample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample of events by hashed event_id —
+    exact membership (not just counts) is driver-verified. The predicate is
+    a scan-level filter; Catalyst pushes it below the projection."""
+    e = load(spark, sf_dir, "events")
+    h = F.pmod(
+        F.pmod(F.col("event_id"), F.lit(_TS_P)) * _TS_A + _TS_B, F.lit(_TS_P)
+    )
+    return e.filter(F.pmod(h, F.lit(100)) < _TS_PCT).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 set operations (absent in the reference; engine capability).
 # ---------------------------------------------------------------------------
 @q(

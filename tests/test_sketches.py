@@ -86,3 +86,48 @@ def test_heavy_hitters_exactness(spark, events):
         .filter(F.col("count") > total * 0.0005)
     )
     assert out.count() == exact.count() > 0
+
+
+def test_hll_portable_error_bound_and_mergeability(spark, events):
+    """The portable HLL's register state must support an accurate distinct
+    estimate: in the small-range regime (n < 2.5m, which local testdata is)
+    the standard linear-counting estimate m*ln(m/V) computed FROM the
+    emitted state must land near the exact count; above that regime the raw
+    estimate itself must (HLL rsd for m=256 is ~6.5%; assert a loose 30%).
+    Merging shard partials must equal sketching the group directly
+    (associativity), register for register."""
+    import math
+
+    from mta_rtf_dbt_spark.operators.sketches import HLL_BUCKETS, hll_portable_merge
+
+    sharded = events.withColumn("__s", (F.col("event_id") % 8).cast("long"))
+    merged = {
+        r.event_type: r
+        for r in hll_portable_merge(sharded, "__s", ["event_type"], "user_id").collect()
+    }
+    single = {
+        r.event_type: r
+        for r in hll_portable_merge(
+            events.withColumn("__s", F.lit(0)), "__s", ["event_type"], "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, n in exact.items():
+        r = merged[et]
+        if n > 2.5 * HLL_BUCKETS:
+            est = r.hll_raw_estimate_micro / 1e6
+        else:
+            empty = HLL_BUCKETS - r.n_registers
+            assert empty > 0
+            est = HLL_BUCKETS * math.log(HLL_BUCKETS / empty)
+        assert abs(est - n) / n < 0.30, (et, est, n)
+        # shard-merge == direct sketch, register for register
+        assert r.register_chk == single[et].register_chk
+        assert r.n_registers == single[et].n_registers
+        assert r.hll_raw_estimate_micro == single[et].hll_raw_estimate_micro
