@@ -79,10 +79,23 @@ def _src(spark: SparkSession) -> dict[str, DataFrame]:
     return {t: load(spark, FIX_DIR, t) for t in MTA_TABLES}
 
 
+# One model build per SparkSession, with the stop-level model persisted —
+# the driver runs 16 mta_* entries back to back and every one reads
+# fact_trips_stops; production materializes the model once (S3/S4) and
+# points all metrics at it, so the gate should pay the chain once too.
+_MODEL_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def _models(spark: SparkSession) -> dict[str, DataFrame]:
     from mta_rtf_dbt_spark.plans.mta_models import build_all
 
-    return build_all(spark, _src(spark), register_views=False)
+    key = id(spark)
+    models = _MODEL_CACHE.get(key)
+    if models is None:
+        models = build_all(spark, _src(spark), register_views=False)
+        models["fact_trips_stops"] = models["fact_trips_stops"].persist()
+        _MODEL_CACHE[key] = models
+    return models
 
 
 def _metric_oracle(name: str, tables: list[str], with_trips: bool = False) -> str:
