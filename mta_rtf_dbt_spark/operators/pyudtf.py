@@ -3,11 +3,13 @@ many-rows Python logic (SURVEY §2.8 lists UDTF as absent in the reference;
 provided as the escape hatch for logic neither Columns nor a single pandas
 UDF express, e.g. per-document segmenters that emit variable row counts).
 
-Discipline: a UDTF is row-at-a-time Python — the SLOWEST path in the engine
-(below built-ins and Arrow-batched pandas UDFs). It belongs at the edge of
-the plan (post-filter, few columns), never in a hot join. The driver entry
-proves exact parity with a pure-SQL formulation, so the correctness bar for
-custom UDTFs is the same oracle gate as everything else.
+Discipline: a UDTF is Python in the row path — below built-ins even when
+Arrow-batched (``useArrow=True``, r5: plans as ArrowEvalPythonUDTF instead
+of the pickled row-at-a-time BatchEvalPythonUDTF the plan-hygiene sweep
+forbids). It belongs at the edge of the plan (post-filter, few columns),
+never in a hot join. The driver entry proves exact parity with a pure-SQL
+formulation, so the correctness bar for custom UDTFs is the same oracle
+gate as everything else.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
-@udtf(returnType="seg_idx int, segment string, n_words int")
+@udtf(returnType="seg_idx int, segment string, n_words int", useArrow=True)
 class SentenceSegments:
     """Split a document into '. '-delimited segments; one output row per
     non-empty segment. Word count = single-space tokens (mirrors the SQL

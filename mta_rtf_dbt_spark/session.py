@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Python UDTFs ride Arrow batches (ArrowEvalPythonUDTF) instead of
+    # row-at-a-time pickling (BatchEvalPythonUDTF) — caught by the
+    # test_plan_hygiene sweep (r5); same policy as the pandas_udf paths.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 # Build-time confs (need to be set before the JVM context exists).
