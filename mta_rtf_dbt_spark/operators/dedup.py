@@ -240,14 +240,11 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
-    """Band the signature, hash each band, equi-join on (band, hash). A pair
-    colliding in >= 1 band is a candidate. Scale: |bands| rows per doc, one
-    shuffle on the band hash — never quadratic. Band-hash collisions across
-    unequal bands only add candidates, which exact verification removes —
-    and both engines compute the identical collision set."""
-    n = 64  # signature length from minhash_signatures default
-    rows_per_band = n // bands
+def lsh_band_keys(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, band, band_hash) — the banded LSH key relation shared by the
+    batch candidate join and the streaming near-dup index (which persists
+    exactly these rows, so batch and stream agree on what collides)."""
+    rows_per_band = num_hashes // bands
 
     def band_hash(b: int) -> F.Column:
         acc = F.col("minhash").getItem(b * rows_per_band)
@@ -255,12 +252,21 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
             acc = (acc * MINHASH_BAND_BASE + F.col("minhash").getItem(b * rows_per_band + j)) % MINHASH_P
         return acc
 
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[band_hash(b) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature, hash each band, equi-join on (band, hash). A pair
+    colliding in >= 1 band is a candidate. Scale: |bands| rows per doc, one
+    shuffle on the band hash — never quadratic. Band-hash collisions across
+    unequal bands only add candidates, which exact verification removes —
+    and both engines compute the identical collision set."""
+    banded = lsh_band_keys(sigs, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -219,3 +219,132 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    index_buckets: int = 32,
+):
+    """Incremental corpus ingestion with NEAR-duplicate screening against a
+    persisted MinHash band index — the streaming sibling of the batch
+    ``minhash_lsh_dedup`` operator (same portable hash family, same 16x4
+    banding, so batch and stream agree on what collides).
+
+    Per micro-batch (foreachBatch, availableNow):
+
+    1. 64-hash MinHash signatures for the batch docs, banded into
+       ``(doc_id, bkey)`` rows where ``bkey = band * (2^31) + band_hash``
+       (injective — band_hash < 2^31 — giving ONE join/bucket key). Docs
+       too short to shingle (< 3 tokens) get a single NEGATIVE fallback key
+       from the exact content hash — disjoint from real band keys — so they
+       exact-dedup instead of slipping through unscreened;
+    2. in-batch greedy keep-first: a doc sharing any band with a
+       smaller-id batch doc is dropped (the cheap streaming screen; batch
+       mode's connected-components keep-list is the thorough variant, and
+       re-running it offline over the ingested corpus remains possible
+       because the corpus retains full text);
+    3. index probe: batch docs sharing any ``bkey`` with an indexed doc are
+       dropped (LSH-screen semantics: collision = near-dup candidate; the
+       band curve sets the effective similarity threshold);
+    4. survivors' docs append to ``corpus_path``; their band rows append to
+       the index — a table BUCKETED on ``bkey`` so the per-batch probe
+       shuffles only the (small) batch side, exactly like
+       :func:`stream_dedup_ingest`'s exact-hash index.
+
+    Redelivered batches drop to zero: every previously-ingested survivor
+    collides with its own indexed bands, and every previously-dropped doc
+    is re-dropped by the same deterministic rules — an exactly-once corpus
+    under at-least-once delivery. Returns the completed StreamingQuery."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.functions import text as T
+    from mta_rtf_dbt_spark.operators.dedup import (
+        MINHASH_P,
+        _poly_hash_col,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    idx_table = "neardup_idx_" + hashlib.sha256(index_path.encode()).hexdigest()[:12]
+    if not os.path.isdir(index_path):
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if not batch_df.columns:
+            return
+        sigs = minhash_signatures(batch_df, text_col=text_col, id_col=id_col)
+        real = lsh_band_keys(sigs, bands).select(
+            "doc_id",
+            (F.col("band").cast("long") * (MINHASH_P + 1) + F.col("band_hash")).alias(
+                "bkey"
+            ),
+        )
+        fallback = (
+            batch_df.join(
+                sigs.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+            )
+            .select(
+                F.col(id_col).alias("doc_id"),
+                (-_poly_hash_col(T.normalize(F.col(text_col))) - 1).alias("bkey"),
+            )
+        )
+        banded = real.unionAll(fallback)
+        banded.persist()
+        try:
+            a = banded.alias("a")
+            b = banded.alias("b")
+            in_batch = (
+                a.join(
+                    b,
+                    (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("b.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            if spark.catalog.tableExists(idx_table):
+                idx = spark.table(idx_table).select("bkey")
+                hits = (
+                    banded.join(idx, "bkey", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                drops = in_batch.unionAll(hits).distinct()
+            else:
+                drops = in_batch
+            survivors = batch_df.join(
+                drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+            )
+            surviving_bands = banded.join(drops, "doc_id", "left_anti")
+            surviving_bands.persist()
+            try:
+                if surviving_bands.count():
+                    survivors.write.mode("append").parquet(corpus_path)
+                    (
+                        surviving_bands.write.mode("append")
+                        .bucketBy(index_buckets, "bkey")
+                        .sortBy("bkey")
+                        .option("path", index_path)
+                        .saveAsTable(idx_table)
+                    )
+            finally:
+                surviving_bands.unpersist()
+        finally:
+            banded.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

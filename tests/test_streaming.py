@@ -433,3 +433,70 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_stream_neardup_ingest_screens_across_batches(spark, tmp_path):
+    """Near-duplicates are screened by the banded MinHash index across
+    micro-batches (cross-batch near-dup dropped, in-batch exact dup
+    dropped), short shingle-less docs exact-dedup via the negative
+    fallback key, full redelivery appends nothing, and the index probe
+    rides the bucketed scan (one hash exchange only)."""
+    import os
+    import time
+
+    from mta_rtf_dbt_spark.streaming.upsert import stream_neardup_ingest
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow waltz under pale November skies near the old pier")
+    near = base.replace("waltz", "polka")  # 1-token edit: high jaccard
+    other = ("completely different content about distributed query engines "
+             "processing enormous volumes of training data every single day "
+             "with bounded memory and deterministic results for verification")
+    fresh = ("yet another unrelated document mentioning neither foxes nor "
+             "engines but rather the migratory patterns of arctic terns "
+             "across hemispheres in search of perpetual daylight hours")
+    batches = [
+        [(1, base), (2, other), (3, base)],     # 3 = in-batch exact dup of 1
+        [(4, near), (5, "tiny doc")],           # 4 = cross-batch near-dup of 1
+        [(6, "tiny doc"), (7, fresh)],          # 6 = exact dup of 5 (fallback key)
+    ]
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(src_dir / f"b{i}.parquet")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).toPandas().to_parquet(
+            p, index=False
+        )
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    q = stream_neardup_ingest(
+        spark, _stream_dir(spark, str(src_dir)), corpus, index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 5, 7}
+
+    # full redelivery under a fresh checkpoint: everything screened out
+    q2 = stream_neardup_ingest(
+        spark, _stream_dir(spark, str(src_dir)), corpus, index,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 4
+
+    # bucketed probe: only the batch side shuffles
+    import hashlib
+
+    idx_table = "neardup_idx_" + hashlib.sha256(index.encode()).hexdigest()[:12]
+    assert spark.catalog.tableExists(idx_table)
+    batch = spark.createDataFrame([(9, 123456789)], ["doc_id", "bkey"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = batch.join(spark.table(idx_table).select("bkey"), "bkey", "left_semi")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
