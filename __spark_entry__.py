@@ -91,9 +91,10 @@ _PRIORITY = [
     "mta_m5_headways",
     "mta_m6_dwell",
     # -- new this round: portable-HLL sketch column + deterministic
-    #    TABLESAMPLE (the two r4 "minor missing" items) --
+    #    TABLESAMPLE (the two r4 "minor missing" items) + filtered ANN --
     "a_hll_portable",
     "s_tablesample_hash",
+    "ann_lsh_filtered",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

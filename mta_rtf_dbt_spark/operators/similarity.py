@@ -249,29 +249,34 @@ def _planes_sql(planes: list[list[float]] = PLANES) -> str:
     return f"(VALUES\n    {rows}) AS planes(plane_id, pv)"
 
 
-def _sigs_sql(planes: list[list[float]], n_bands: int) -> str:
+def _sigs_sql(
+    planes: list[list[float]], n_bands: int, where: str = "", prefix: str = ""
+) -> str:
     """The sigs CTE chain, computation-identical to :func:`lsh_signatures`
     (same positional join, same integerized per-product rounding, same
-    order-free integer sum)."""
+    order-free integer sum). ``where`` restricts the vector source (the
+    filtered-ANN variant); ``prefix`` namespaces the CTEs so two chains can
+    coexist in one query."""
     bits = len(planes) // n_bands
-    return f"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-plane_elems AS (
+    p = prefix
+    return f"""{p}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {where}),
+{p}plane_elems AS (
   SELECT plane_id, i AS pos, pv[i] AS pval
   FROM {_planes_sql(planes)}, generate_series(1, {DIM}) AS gs(i)
 ),
-vec_elems AS (
+{p}vec_elems AS (
   SELECT vec_id, i AS pos, v[i] AS val
-  FROM vecs, generate_series(1, {DIM}) AS gs(i)
+  FROM {p}vecs, generate_series(1, {DIM}) AS gs(i)
 ),
-dots AS (
+{p}dots AS (
   SELECT vec_id, plane_id,
          SUM(CAST(ROUND(val * pval * {_DOT_SCALE}) AS BIGINT)) AS dot_i
-  FROM vec_elems JOIN plane_elems USING (pos) GROUP BY 1, 2
+  FROM {p}vec_elems JOIN {p}plane_elems USING (pos) GROUP BY 1, 2
 ),
-sigs AS (
+{p}sigs AS (
   SELECT vec_id, plane_id // {bits} AS band,
          SUM(CASE WHEN dot_i >= 0 THEN 1 << (plane_id % {bits}) ELSE 0 END) AS band_sig
-  FROM dots GROUP BY 1, 2
+  FROM {p}dots GROUP BY 1, 2
 )"""
 
 
@@ -307,6 +312,47 @@ def ann_lsh_cosine(spark, sf_dir):
     rankings must match exactly."""
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, queries_in_corpus=True)
+
+
+def _ann_filtered_sql() -> str:
+    return f"""
+WITH {_sigs_sql(PLANES, N_BANDS, where="WHERE label <= 4")},
+{_sigs_sql(PLANES, N_BANDS, where="WHERE vec_id < 5", prefix="q_")},
+qsig AS (SELECT vec_id AS query_id, band, band_sig FROM q_sigs),
+cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qsig q JOIN sigs c ON q.band = c.band AND q.band_sig = c.band_sig
+  WHERE c.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_COS_SQL}, 6) AS sim
+  FROM cands
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings) q
+    ON q.vec_id = query_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c
+    ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q("ann_lsh_filtered", _ann_filtered_sql())
+def ann_lsh_filtered(spark, sf_dir):
+    """Metadata-FILTERED vector search (pre-filtering): the corpus is
+    restricted by a label predicate BEFORE signatures/banding, so the index
+    probed is the filtered subset — results are guaranteed to satisfy the
+    predicate (vs post-filtering top-k, which can return < k). Queries come
+    from the unfiltered relation; the usual production shape for "search
+    only docs from source X" over an embedding index. Fully oracle-checked
+    like the unfiltered entry."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") <= 4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(corpus, queries, k=5)
 
 
 NEAR_DUP_COS = 0.9
