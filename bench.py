@@ -213,6 +213,19 @@ def main() -> None:
         else:
             q.stop()
             timings["stream_dedup_ingest"] = -1.0  # timed out; not a timing
+
+        # near-dup sibling: same drain through the MinHash band index
+        from mta_rtf_dbt_spark.streaming.upsert import stream_neardup_ingest
+
+        t0 = time.monotonic()
+        q = stream_neardup_ingest(
+            spark, stream, f"{tmp}/nd_corpus", f"{tmp}/nd_index", f"{tmp}/nd_ckpt"
+        )
+        if q.awaitTermination(600):
+            timings["stream_neardup_ingest"] = round(time.monotonic() - t0, 3)
+        else:
+            q.stop()
+            timings["stream_neardup_ingest"] = -1.0  # timed out; not a timing
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
