@@ -295,7 +295,14 @@ def minhash_lsh_stages(
     )
     cands = lsh_candidate_pairs(sigs, bands)
 
-    def verify(shv: DataFrame) -> DataFrame:
+    def verify(shv: DataFrame, persist_shv: bool = False) -> DataFrame:
+        # shv feeds THREE consumers (per-doc counts + both match-join
+        # sides). In the PRUNED variant shv is the candidate-filtered slice
+        # — persist it so the semi-join runs once, not three times; in the
+        # unpruned variant shv IS the already-persisted corpus relation and
+        # a second persist would be a no-op plus a CacheManager warning.
+        if persist_shv:
+            shv = scoped_persist(shv, "minhash.verify_sh")
         cnt = shv.groupBy("doc_id").agg(F.count("*").alias("n"))
         a = shv.alias("sa")
         b = shv.alias("sb")
@@ -329,7 +336,9 @@ def minhash_lsh_stages(
         "shingles": sh,
         "signatures": sigs,
         "candidates": cands,
-        "verified": verify(sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")),
+        "verified": verify(
+            sh.join(F.broadcast(cand_docs), "doc_id", "left_semi"), persist_shv=True
+        ),
         "verified_full": verify(sh),
     }
 
