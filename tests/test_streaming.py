@@ -500,3 +500,50 @@ def test_stream_neardup_ingest_screens_across_batches(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_stream_dedup_ingest_survives_catalog_loss(spark, tmp_path):
+    """The bucketed-index catalog entry is session-scoped (in-memory
+    catalog): if the index files outlive the session, the first batch of a
+    new session must fall back to a plain parquet probe (still correct)
+    and re-register the bucketed table on its own write."""
+    import hashlib
+    import os
+    import time
+
+    from mta_rtf_dbt_spark.streaming.upsert import stream_dedup_ingest
+
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    rows = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).toPandas().to_parquet(
+        str(src1 / "b0.parquet"), index=False
+    )
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    q = stream_dedup_ingest(
+        spark, _stream_dir(spark, str(src1)), corpus, index, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2
+
+    # simulate a NEW session: drop the catalog entry, keep the files
+    idx_table = "dedup_idx_" + hashlib.sha256(index.encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+    assert os.path.isdir(index)
+
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    rows2 = [(3, "alpha beta gamma delta"), (4, "iota kappa lambda mu")]
+    p = str(src2 / "b0.parquet")
+    spark.createDataFrame(rows2, ["doc_id", "text"]).coalesce(1).toPandas().to_parquet(
+        p, index=False
+    )
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    q2 = stream_dedup_ingest(
+        spark, _stream_dir(spark, str(src2)), corpus, index, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 4}  # 3 rejected via the parquet-fallback probe
+    assert spark.catalog.tableExists(idx_table)  # re-registered by the write
