@@ -87,6 +87,8 @@ _PRIORITY = [
     "mta_m10",
     "mta_m11",
     "mta_m12",
+    # -- new this round: dbt-incremental materialization of the core model --
+    "mta_fts_incremental",
     # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
     "mta_m5_headways",
     "mta_m6_dwell",

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.plans.mta_oracle import (
     DAY,
@@ -180,6 +181,40 @@ def mta_fact_alerts(spark, sf_dir):
     """Alert star (fact_alerts.sql:3-94): per-child aggregate-then-left-join
     (J3) x4 plus the stops/routes dim lookups (J8 multi-way)."""
     return _models(spark)["fact_alerts"]
+
+
+@q(
+    "mta_fts_incremental",
+    f"""
+    WITH {_fixture_ctes(_FTS_SOURCES)},
+    o_fact_trips_stops AS ({FACT_TRIPS_STOPS_BODY})
+    SELECT * FROM o_fact_trips_stops
+    """,
+)
+def mta_fts_incremental(spark, sf_dir):
+    """dbt-INCREMENTAL materialization of the core model, driver-gated (r5):
+    the model is built over the first three dlt loads, then the model built
+    over loads 002+003 is MERGEd in on the snapshot grain (tu_id, stu_id) —
+    the load-002 overlap exercises the matched/update branch, load 003 the
+    insert branch. fact_trips_stops is row-local per (tu, stu) (joins touch
+    only dims), so incremental-apply must equal the full rebuild exactly;
+    the oracle is the full model over all loads, and the hash check proves
+    the MERGE mechanics neither drop, duplicate, nor mutate a row."""
+    from mta_rtf_dbt_spark.operators.merge import merge_into
+    from mta_rtf_dbt_spark.plans.mta_models import fact_trips_stops
+
+    src = _src(spark)
+
+    def subset(loads: list[str]) -> dict[str, DataFrame]:
+        s = dict(src)
+        s["trip_updates"] = src["trip_updates"].filter(
+            F.col("_dlt_load_id").isin(*loads)
+        )
+        return s
+
+    early = fact_trips_stops(subset(["load000", "load001", "load002"]))
+    delta = fact_trips_stops(subset(["load002", "load003"]))
+    return merge_into(early, delta, ["tu_id", "stu_id"])
 
 
 # ---------------------------------------------------------------------------
