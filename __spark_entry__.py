@@ -87,8 +87,11 @@ _PRIORITY = [
     "mta_m10",
     "mta_m11",
     "mta_m12",
-    # -- new this round: dbt-incremental materialization of the core model --
+    # -- new this round: dbt-incremental materialization of the core model,
+    #    Q9/Q21-shape analogs --
     "mta_fts_incremental",
+    "q9_product_profit",
+    "q21_sole_returner",
     # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
     "mta_m5_headways",
     "mta_m6_dwell",

@@ -706,3 +706,119 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 analog — product-type profit by nation and year. The testdata carries no
+# partsupp table, so supply cost is re-based on the part dimension's
+# retailprice (0.6 * p_retailprice * l_quantity) — same expression-heavy
+# profit aggregate, LIKE-filtered part dim, and 5-way join as TPC-H Q9.
+# ---------------------------------------------------------------------------
+_PROFIT_SQL = (
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+    " - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+
+@q(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {_PROFIT_SQL} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp in testdata — cost re-based on the part
+    dim, see module comment). Scale: the LIKE filter prunes the part dim
+    BEFORE its broadcast, so the fact scan only keeps matching partkeys;
+    supplier/nation broadcast; the one real shuffle is lineitem x orders on
+    orderkey; profit terms are per-row doubles cast to DECIMAL before the
+    order-free sum (the money discipline)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(_dec(profit)).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 analog — suppliers who alone returned goods on finished multi-supplier
+# orders. The testdata has no commit/receipt dates, so Q21's "kept waiting"
+# predicate is re-based on l_returnflag = 'R' — the join/subquery SHAPE is
+# Q21's exactly: fact filter + two correlated subqueries on the same fact
+# (EXISTS another-supplier, NOT EXISTS another-supplier-also-late).
+# ---------------------------------------------------------------------------
+@q(
+    "q21_sole_returner",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (predicate re-based, see module comment): the double
+    correlated subquery becomes a left-semi then a left-anti join against
+    the same fact, each an equi-join on orderkey with a supplier-inequality
+    residual — one shuffle each on the correlation key, never quadratic.
+    Top-20 with the s_name tiebreaker is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
