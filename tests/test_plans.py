@@ -16,17 +16,28 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_filter_pushes_through_model_chain(mta_models):  # noqa: F811
+def _uncached(spark):
+    """Pushdown/pruning assertions need UNCACHED plans: once the driver
+    entries' model memoization persists fact_trips_stops (plans/mta_driver),
+    the cache manager substitutes the InMemoryRelation into any identical
+    subtree and the scan under test disappears. Clearing is safe — scoped
+    persists recompute on next use."""
+    spark.catalog.clearCache()
+
+
+def test_filter_pushes_through_model_chain(spark, mta_models):  # noqa: F811
     """EP2: fact_delays inlines fact_trips_stops inlines 4 sources; the
     feed='main' filter must reach the trip_updates parquet scan."""
+    _uncached(spark)
     plan = _plan(mta_models["fact_delays"])
     assert "PushedFilters" in plan
     assert "EqualTo(feed,main)" in plan, plan[:4000]
 
 
-def test_model_chain_prunes_columns(mta_models):  # noqa: F811
+def test_model_chain_prunes_columns(spark, mta_models):  # noqa: F811
     """A narrow projection over fact_trips_stops (54 cols) must narrow the
     trip_updates scan's ReadSchema, not read everything."""
+    _uncached(spark)
     narrow = mta_models["fact_trips_stops"].select("trip_uid", "stop_id")
     plan = _plan(narrow)
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
