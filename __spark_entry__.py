@@ -92,6 +92,15 @@ _PRIORITY = [
     "mta_fts_incremental",
     "q9_product_profit",
     "q21_sole_returner",
+    # -- new this round: the five remaining TPC-H shapes (all 22 now
+    #    covered) — Q2 correlated-min decorrelation, Q11 scalar-subquery
+    #    HAVING, Q12 conditional split, Q16 NOT-IN + COUNT(DISTINCT),
+    #    Q20 nested double-aggregate semi chain --
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q16_supplier_diversity",
+    "q20_concentrated_supply",
     # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
     "mta_m5_headways",
     "mta_m6_dwell",
