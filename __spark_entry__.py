@@ -109,6 +109,10 @@ _PRIORITY = [
     "a_hll_portable",
     "s_tablesample_hash",
     "ann_lsh_filtered",
+    # -- new this round: portable count-min sketch column + Bloom-filter
+    #    decontamination screen (broadcast-bitmap scale path) --
+    "a_cms_portable",
+    "text_bloom_decontaminate",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

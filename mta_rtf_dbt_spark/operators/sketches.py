@@ -267,6 +267,128 @@ def a_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable count-min sketch (r5): the frequency-estimate sibling of the
+# portable HLL above — d x w counters whose state is REPRODUCIBLE across
+# engines (same affine family discipline), so the whole lifecycle
+# (shard partials -> elementwise-SUM merge -> point queries) is driver
+# hash-checkable. The production use is the candidate pass in front of
+# heavy_hitters_exact: a CMS never underestimates, so "CMS estimate >
+# threshold" is a lossless prefilter for the exact verify, and the sketch
+# is mergeable (counter sums) for the daily-partition rollup.
+# ---------------------------------------------------------------------------
+CMS_P = HLL_P
+CMS_W = 512  # counters per row
+# 4 independent affine rows; constants < 2^31 so hv*A + B < 2^62 (64-bit safe)
+CMS_SEEDS = [
+    (1_103_515_245, 12_345),
+    (69_069, 362_437),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+]
+CMS_PROBES = [1, 7, 13]  # fixed point-query keys shared with the oracle
+
+
+def _cms_pos(x, a: int, b: int):
+    return F.pmod(F.pmod(x * a + b, F.lit(CMS_P)), F.lit(CMS_W))
+
+
+def cms_portable_merge(
+    df: DataFrame, shard_col: str, keys: list[str], col: str
+) -> DataFrame:
+    """Per-(shard, group) CMS partials merged per group by counter SUM, then
+    the point-query extract for CMS_PROBES: est(x) = min over rows j of
+    counter[j][pos_j(x)], with an absent counter reading 0. Output per
+    group: nonzero-counter count, an order-free counter checksum, and one
+    estimate column per probe key — all integers."""
+    x = F.pmod(F.col(col).cast("long"), F.lit(CMS_P))
+    # one scan: the d positions ride a single posexplode, not d unioned scans
+    pos_arr = F.array(*[_cms_pos(x, a, b) for a, b in CMS_SEEDS])
+    cells = df.select(
+        *keys, F.col(shard_col).alias("__shard"), pos_arr.alias("__pos")
+    ).select(
+        *keys,
+        "__shard",
+        F.posexplode("__pos").alias("row_j", "pos"),
+    )
+    partials = cells.groupBy(*keys, "__shard", "row_j", "pos").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = partials.groupBy(*keys, "row_j", "pos").agg(F.sum("cnt").alias("cnt"))
+    probe_cols = []
+    for p in CMS_PROBES:
+        per_row = [
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("row_j") == j)
+                        & (F.col("pos") == ((p % CMS_P) * a + b) % CMS_P % CMS_W),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            for j, (a, b) in enumerate(CMS_SEEDS)
+        ]
+        probe_cols.append(F.least(*per_row).cast("long").alias(f"est_user_{p}"))
+    return merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_nonzero_counters"),
+        F.sum((F.col("row_j") * CMS_W + F.col("pos") + 1) * F.col("cnt"))
+        .cast("long")
+        .alias("counter_chk"),
+        *probe_cols,
+    )
+
+
+def _cms_oracle_sql() -> str:
+    seed_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_SEEDS))
+    est_cols = []
+    for p in CMS_PROBES:
+        per_row = ", ".join(
+            f"COALESCE(SUM(CASE WHEN row_j = {j} AND pos = {((p % CMS_P) * a + b) % CMS_P % CMS_W} THEN cnt END), 0)"
+            for j, (a, b) in enumerate(CMS_SEEDS)
+        )
+        est_cols.append(f"CAST(LEAST({per_row}) AS BIGINT) AS est_user_{p}")
+    est_sql = ",\n           ".join(est_cols)
+    return f"""
+    WITH seeds(row_j, a, b) AS (VALUES {seed_rows}),
+    cells AS (
+      SELECT e.event_type, e.event_id % 8 AS shard, seeds.row_j,
+             (((e.user_id % {CMS_P}) * seeds.a + seeds.b) % {CMS_P}) % {CMS_W} AS pos
+      FROM events e CROSS JOIN seeds
+    ),
+    partials AS (
+      SELECT event_type, shard, row_j, pos, COUNT(*) AS cnt
+      FROM cells GROUP BY 1, 2, 3, 4
+    ),
+    merged AS (
+      SELECT event_type, row_j, pos, SUM(cnt) AS cnt
+      FROM partials GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero_counters,
+           CAST(SUM((row_j * {CMS_W} + pos + 1) * cnt) AS BIGINT) AS counter_chk,
+           {est_sql}
+    FROM merged GROUP BY event_type
+    """
+
+
+@q("a_cms_portable", _cms_oracle_sql())
+def a_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequency sketch COLUMN with engine-reproducible counter
+    state: per-shard CMS partials -> counter-sum merge -> min-over-rows
+    point queries for fixed probe users, all hash-verified against DuckDB
+    replaying the identical affine family (never-underestimate + error
+    bound asserted in test_sketches)."""
+    e = load(spark, sf_dir, "events")
+    return cms_portable_merge(
+        e.withColumn("__s", (F.col("event_id") % 8).cast("long")),
+        "__s",
+        ["event_type"],
+        "user_id",
+    )
+
+
 @q(
     "a_heavy_hitters",
     """

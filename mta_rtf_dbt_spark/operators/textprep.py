@@ -174,6 +174,128 @@ def text_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (r5) — the broadcast-screening scale path in
+# front of the exact containment join above. The held-out shingle set is
+# folded into an m-bit Bloom filter (k affine position hashes over the
+# portable polynomial shingle hash); training shingles probe the filter and
+# a doc is screened iff ALL k positions of some shingle are set. At 100 TB
+# the filter is a few KB broadcast to every executor — the held-out relation
+# itself never shuffles against the training side, and only screened docs
+# (a tiny fraction) proceed to the exact containment verify. One-sided
+# error: a shingle actually present in the held-out set always hits
+# (no false negatives — asserted with planted docs in test_textprep);
+# false-positive hits are deterministic given the hash family, so the
+# whole screen is engine-reproducible and driver hash-checked.
+# ---------------------------------------------------------------------------
+BLOOM_M = 16384  # filter bits (2 KB) — broadcast cost at scale
+BLOOM_SEEDS = [(1_103_515_245, 12_345), (69_069, 362_437), (214_013, 2_531_011)]
+_BLOOM_K = len(BLOOM_SEEDS)
+
+
+def bloom_screen(
+    sh: DataFrame, heldout_pred, min_hit_shingles: int = 1
+) -> DataFrame:
+    """Screen training docs against a Bloom filter of held-out shingles.
+
+    ``sh``: (doc_id, shingle) relation; ``heldout_pred``: Column predicate
+    over doc_id selecting the held-out side. Returns per-training-doc
+    (doc_id, n_shingles, n_bloom_hits, hit_ppm) for docs with at least
+    ``min_hit_shingles`` hit shingles.
+
+    Shape: ONE shingle-hash projection feeds both sides; the filter side
+    collapses to <= m distinct set-bit positions (broadcast), the probe side
+    explodes k positions per shingle and semi-joins the broadcast bit set —
+    a shingle hits iff all k of its exploded entries match. No shuffle
+    carries the held-out relation; the only wide exchange is the training
+    side's per-doc aggregate."""
+    hb = sh.select("doc_id", T.poly_hash(F.col("shingle")).alias("hb"))
+    hb = scoped_persist(hb, "bloom.hb")
+    pos_arr = F.array(
+        *[
+            F.pmod(F.pmod(F.col("hb") * a + b, F.lit(T.POLY_MOD)), F.lit(BLOOM_M))
+            for a, b in BLOOM_SEEDS
+        ]
+    )
+    bits = (
+        hb.filter(heldout_pred(F.col("doc_id")))
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        hb.filter(~heldout_pred(F.col("doc_id")))
+        .select("doc_id", "hb", F.explode(pos_arr).alias("pos"))
+    )
+    hit_shingles = (
+        probe.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id", "hb")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    totals = hb.filter(~heldout_pred(F.col("doc_id"))).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(hit_shingles, "doc_id")
+        .filter(F.col("n_bloom_hits") >= min_hit_shingles)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.expr("CAST(n_bloom_hits * 1000000L div n_shingles AS BIGINT)").alias(
+                "hit_ppm"
+            ),
+        )
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    seed_rows = ", ".join(f"({a}, {b})" for a, b in BLOOM_SEEDS)
+    P = T.POLY_MOD
+    return f"""
+    WITH {_SHINGLE_SQL},
+    uniq AS (SELECT DISTINCT shingle FROM sh),
+    base AS (SELECT shingle,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(shingle)),
+                                  i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * {T.POLY_BASE} + c) % {P}) AS hb
+             FROM uniq),
+    hsh AS (SELECT s.doc_id, b.hb FROM sh s JOIN base b USING (shingle)),
+    seeds(a, b) AS (VALUES {seed_rows}),
+    pos AS (SELECT doc_id, hb, ((hb * seeds.a + seeds.b) % {P}) % {BLOOM_M} AS pos
+            FROM hsh CROSS JOIN seeds),
+    bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 10 = 0),
+    probe AS (SELECT * FROM pos WHERE doc_id % 10 <> 0),
+    hits AS (SELECT doc_id, hb
+             FROM probe JOIN bits USING (pos)
+             GROUP BY doc_id, hb HAVING COUNT(*) = {_BLOOM_K}),
+    doc_hits AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM hits GROUP BY 1),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hsh
+               WHERE doc_id % 10 <> 0 GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_bloom_hits AS BIGINT) AS n_bloom_hits,
+           CAST(h.n_bloom_hits * 1000000 // t.n_shingles AS BIGINT) AS hit_ppm
+    FROM totals t JOIN doc_hits h USING (doc_id)
+    WHERE h.n_bloom_hits >= 1
+    """
+
+
+@q("text_bloom_decontaminate", _bloom_oracle_sql())
+def text_bloom_decontaminate(spark, sf_dir):
+    """Bloom-screen the training split (doc_id % 10 != 0) against the
+    held-out split's shingle filter: per-doc Bloom-hit counts and ppm rate,
+    deterministic across engines (the DuckDB oracle replays the identical
+    polynomial + affine position family). The broadcast-bitmap screening
+    stage a 100 TB decontamination job runs before the exact containment
+    join (text_decontaminate)."""
+    sh = shingles(load(spark, sf_dir, "documents"), 3)
+    return bloom_screen(sh, lambda d: d % 10 == 0)
+
+
+# ---------------------------------------------------------------------------
 # Repetition — repeated n-gram ratio (quality filter).
 # ---------------------------------------------------------------------------
 def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -131,3 +131,48 @@ def test_hll_portable_error_bound_and_mergeability(spark, events):
         assert r.register_chk == single[et].register_chk
         assert r.n_registers == single[et].n_registers
         assert r.hll_raw_estimate_micro == single[et].hll_raw_estimate_micro
+
+
+def test_cms_portable_guarantees(spark, events):
+    """CMS invariants from the emitted state: (1) shard-merge equals the
+    single-shard sketch counter for counter (mergeability), (2) point
+    estimates never underestimate the exact count, (3) overestimate is
+    bounded by the expected-collision mass (loose deterministic check)."""
+    from mta_rtf_dbt_spark.operators.sketches import (
+        CMS_PROBES,
+        CMS_W,
+        cms_portable_merge,
+    )
+
+    sharded = events.withColumn("__s", (F.col("event_id") % 8).cast("long"))
+    merged = {
+        r.event_type: r
+        for r in cms_portable_merge(sharded, "__s", ["event_type"], "user_id").collect()
+    }
+    single = {
+        r.event_type: r
+        for r in cms_portable_merge(
+            events.withColumn("__s", F.lit(0)), "__s", ["event_type"], "user_id"
+        ).collect()
+    }
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(merged) == set(totals)
+    for et, r in merged.items():
+        # mergeability: shard partials summed == direct sketch, state-level
+        assert r.counter_chk == single[et].counter_chk
+        assert r.n_nonzero_counters == single[et].n_nonzero_counters
+        for p in CMS_PROBES:
+            est = getattr(r, f"est_user_{p}")
+            ex = exact.get((et, p), 0)
+            assert est >= ex, (et, p, est, ex)
+            # min over 4 rows; expected collision mass per counter ~ N/W
+            assert est <= ex + 8 * max(totals[et] // CMS_W, 1) + 8, (et, p, est, ex)

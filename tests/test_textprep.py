@@ -152,3 +152,37 @@ def test_line_dedup_keep_first(spark):
     assert out[2].cleaned_text == uniq[2]
     assert (out[3].n_lines, out[3].n_kept) == (3, 2)
     assert out[3].cleaned_text == f"{uniq[3]} tail"
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    """One-sided error: every training doc that actually shares a shingle
+    with the held-out split MUST be screened in (Bloom filters have no
+    false negatives); planted leak included."""
+    from mta_rtf_dbt_spark.operators.dedup import shingles
+    from mta_rtf_dbt_spark.operators.textprep import bloom_screen
+
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # heldout
+        (20, "completely different words about spark and parquet files"),  # heldout
+        (1, "someone said the quick brown fox jumps over fences"),  # leak of 10
+        (2, "unrelated text with nothing shared at all here"),
+        (3, "another clean training document mentioning parquet files only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, 3)
+    out = {r.doc_id: r for r in bloom_screen(sh, lambda d: d % 10 == 0).collect()}
+
+    # exact shared-shingle ground truth
+    held = sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    shared = {
+        r.doc_id
+        for r in sh.filter(F.col("doc_id") % 10 != 0)
+        .join(held, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert 1 in shared  # the planted leak really shares shingles
+    assert shared <= set(out), (shared, set(out))  # no false negatives
+    for d in shared:
+        assert out[d].n_bloom_hits >= 1
