@@ -104,17 +104,24 @@ def jaccard_pairs(
     the capped shingle universe: per-doc sizes and intersections are both
     computed post-cap, so the Jaccard value is internally consistent; a
     shingle shared by >= max_posting docs carries ~zero similarity signal
-    anyway (it's corpus boilerplate). The cap's document-frequency count is
-    a window over the same ``shingle`` key the self-join shuffles on, so it
-    rides the same exchange. ``max_posting=None`` disables the cap."""
+    anyway (it's corpus boilerplate). The HOT list itself is tiny by
+    construction (<= total_postings / max_posting entries), so the cap is a
+    map-combined groupBy to find it plus a broadcast LEFT ANTI to apply it
+    — no wide exchange of the posting relation for the cap at all (the
+    window-over-shingle form measured 2x slower at sf0.1: it shuffles and
+    sorts every posting row; the groupBy collapses duplicates map-side).
+    ``max_posting=None`` disables the cap."""
+    # the shingle relation feeds the hot-list agg, per-doc counts AND both
+    # sides of the posting self-join: persist so the explode runs once
+    sh = scoped_persist(sh, "jaccard.sh", eager=True)
     if max_posting is not None:
-        from pyspark.sql import Window
-
-        dfreq = F.count("*").over(Window.partitionBy("shingle"))
-        sh = sh.withColumn("__df", dfreq).filter(F.col("__df") < max_posting).drop("__df")
-    # the (capped) shingle relation feeds per-doc counts AND both sides of
-    # the posting self-join: persist so the explode+cap runs once, not 3x
-    sh = scoped_persist(sh, "jaccard.sh")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= max_posting)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

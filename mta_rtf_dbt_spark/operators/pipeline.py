@@ -130,7 +130,7 @@ def curate(
         T.fingerprint_sha(F.col("text")).alias("content_hash"),
     )
     if persist_base:
-        base = scoped_persist(base, "pipeline.base")
+        base = scoped_persist(base, "pipeline.base", eager=True)
     quality = base.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("lexdiv") >= min_lexdiv)
     )
@@ -142,7 +142,7 @@ def curate(
     )
     # deduped feeds the train-shingle relation AND the clean anti-join AND
     # (via callers) funnel counts — one cache, many subtrees
-    deduped = scoped_persist(deduped, "pipeline.deduped")
+    deduped = scoped_persist(deduped, "pipeline.deduped", eager=True)
 
     # held-out split comes from the RAW corpus (pre-quality) — base is the
     # same rows projected (Catalyst prunes the computed columns; when
@@ -289,7 +289,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream branch — at 100 TB you'd stage the mixed corpus to parquet
     here for exactly the same reason."""
     stages = curate(load(spark, sf_dir, "documents"))
-    mixed = scoped_persist(stages["mixed"], "pipeline.mixed")
+    mixed = scoped_persist(stages["mixed"], "pipeline.mixed", eager=True)
     plan = shard_plan(mixed)
     return plan.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -341,7 +341,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination join (inside the persisted ``clean``), one mixing window —
     each exactly once, which is also the 100 TB shape."""
     stages = curate(load(spark, sf_dir, "documents"), persist_base=True)
-    clean = scoped_persist(stages["clean"], "pipeline.audit.clean")
+    clean = scoped_persist(stages["clean"], "pipeline.audit.clean", eager=True)
     q_cond = (F.col("n_tokens") >= MIN_TOKENS) & (F.col("lexdiv") >= MIN_LEXDIV)
     agg_base = stages["base"].agg(
         F.count(F.lit(1)).alias("n_raw"),

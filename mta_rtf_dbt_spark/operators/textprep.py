@@ -86,29 +86,28 @@ def contamination_pairs(
     Scale: identical posting-join shape to dedup's exact baseline — one
     shuffle on the shingle key, hot shingles (df >= max_posting across both
     relations) dropped before the join so corpus boilerplate can't go
-    quadratic. The cap is a COUNT window over the unioned sides riding that
-    single shingle exchange (r5 reshape — the earlier groupBy-df + keep-join
-    form persisted both full shingle relations and shuffled the big relation
-    three times); the one persisted relation is the post-cap index, whose
-    cached hash-partitioning (and sort, from the window) both sides of the
-    posting self-join reuse without a new exchange — at cluster scale this
-    persist is the staging write a production decontamination job does
-    anyway."""
+    quadratic. The HOT list is tiny by construction (<= total_postings /
+    max_posting entries), so the cap is a map-combined groupBy over the
+    unioned sides to FIND it plus a broadcast LEFT ANTI on each side to
+    APPLY it — the posting relation never takes a wide exchange for the
+    cap (the r5 window-over-union form shuffled and sorted every posting
+    row and measured 2x slower at sf0.1; the r4 keep-JOIN form shuffled
+    the big relation into a non-broadcast join). Each pre-cap side is
+    persisted once (it feeds the df union and its join side) — at cluster
+    scale these persists are the staging writes a production
+    decontamination job does anyway."""
     if max_posting is not None:
-        from pyspark.sql import Window
-
-        both = test_sh.select(
-            "doc_id", "shingle", F.lit("t").alias("__side")
-        ).unionAll(train_sh.select("doc_id", "shingle", F.lit("r").alias("__side")))
-        w = Window.partitionBy("shingle")
-        capped = (
-            both.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") < max_posting)
-            .drop("__df")
+        test_sh = scoped_persist(test_sh, "contam.test_sh", eager=True)
+        train_sh = scoped_persist(train_sh, "contam.train_sh", eager=True)
+        union = test_sh.select("shingle").unionAll(train_sh.select("shingle"))
+        hot = (
+            union.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= max_posting)
+            .select("shingle")
         )
-        capped = scoped_persist(capped, "contam.capped")
-        test_sh = capped.filter(F.col("__side") == "t").drop("__side")
-        train_sh = capped.filter(F.col("__side") == "r").drop("__side")
+        test_sh = test_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        train_sh = train_sh.join(F.broadcast(hot), "shingle", "left_anti")
     test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
     common = (
         test_sh.alias("t")
@@ -155,19 +154,21 @@ def text_decontaminate(spark, sf_dir):
     """Eval-leakage check over documents: held-out set = doc_id % 10 == 0,
     flag test docs whose distinct 3-gram shingles are >= 50% contained in
     any training doc. The hot-shingle cap is applied ONCE on the full
-    shingle relation (a window over the same shingle key, as in
-    jaccard_pairs) before the test/train split — capping inside
-    contamination_pairs would rebuild the shingle relation per side
-    (plan audit showed 14 shuffles vs 6 this way)."""
-    from pyspark.sql import Window
-
+    shingle relation (map-combined df groupBy + broadcast anti-join on the
+    tiny hot list, as in jaccard_pairs) before the test/train split —
+    capping inside contamination_pairs would rebuild the shingle relation
+    per side."""
     sh = shingles(load(spark, sf_dir, "documents"), 3)
-    dfreq = F.count("*").over(Window.partitionBy("shingle"))
-    capped = sh.withColumn("__df", dfreq).filter(F.col("__df") < 1000).drop("__df")
-    # capped feeds three subtrees (test count + both join sides): persist so
-    # the shingle explode + df window run once, not three times
-    capped = scoped_persist(capped, "decon.capped")
-    capped.count()
+    # sh feeds the hot-list agg + three downstream subtrees (test count and
+    # both join sides): persist so the shingle explode runs once
+    sh = scoped_persist(sh, "decon.sh", eager=True)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 1000)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     test_sh = capped.filter(F.col("doc_id") % 10 == 0)
     train_sh = capped.filter(F.col("doc_id") % 10 != 0)
     return contamination_pairs(test_sh, train_sh, 0.5, max_posting=None)
@@ -209,7 +210,7 @@ def bloom_screen(
     carries the held-out relation; the only wide exchange is the training
     side's per-doc aggregate."""
     hb = sh.select("doc_id", T.poly_hash(F.col("shingle")).alias("hb"))
-    hb = scoped_persist(hb, "bloom.hb")
+    hb = scoped_persist(hb, "bloom.hb", eager=True)
     pos_arr = F.array(
         *[
             F.pmod(F.pmod(F.col("hb") * a + b, F.lit(T.POLY_MOD)), F.lit(BLOOM_M))
