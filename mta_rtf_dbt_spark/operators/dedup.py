@@ -503,7 +503,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     for.) The signature relation feeds the banded self-join and both
     Hamming sides: persist so the 64-sum aggregate runs once, not three
     times."""
-    sigs = scoped_persist(sigs, "simhash.sigs")
+    sigs = scoped_persist(sigs, "simhash.sigs", eager=True)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -620,7 +620,7 @@ def edit_distance_pairs(
 
         bfreq = F.count("*").over(Window.partitionBy("blk"))
         pre = pre.withColumn("__bf", bfreq).filter(F.col("__bf") < max_block).drop("__bf")
-    pre = scoped_persist(pre, "editdist.pre")  # feeds both join sides
+    pre = scoped_persist(pre, "editdist.pre", eager=True)  # feeds both join sides
     a = pre.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pa"), "blk")
     b = pre.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pb"), "blk")
     return (

@@ -164,7 +164,7 @@ def connected_components_star(
     # jaccard posting join), persist it so that pipeline runs once
     from mta_rtf_dbt_spark.sources.registry import scoped_persist
 
-    edges = scoped_persist(edges, "cc.edges")
+    edges = scoped_persist(edges, "cc.edges", eager=True)
     und0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

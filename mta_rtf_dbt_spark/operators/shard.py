@@ -107,7 +107,7 @@ def shard_plan(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = scoped_persist(
-        toks.withColumn("local_end", F.sum("n_tokens").over(wloc)), "shard.plan.local"
+        toks.withColumn("local_end", F.sum("n_tokens").over(wloc)), "shard.plan.local", eager=True
     )
     boff = (
         local.groupBy("bucket")

@@ -212,7 +212,7 @@ def ann_lsh_topk(
     time attribution (r3 verdict: the fixed-overhead claim needs numbers)."""
     sigs = lsh_signatures(spread(corpus), id_col, vec_col)
     if queries_in_corpus:
-        sigs = scoped_persist(sigs, "ann_lsh.corpus_sigs")  # feeds both join sides
+        sigs = scoped_persist(sigs, "ann_lsh.corpus_sigs", eager=True)  # feeds both join sides
         qids = queries.select(F.col(id_col).alias("vid"))
         qs = sigs.join(F.broadcast(qids), "vid").withColumnRenamed("vid", "query_id")
     else:
@@ -375,6 +375,7 @@ def embedding_near_dup_pairs(
     sigs = scoped_persist(
         lsh_signatures(spread(vecs), id_col, vec_col, planes=ND_PLANES, n_bands=ND_N_BANDS),
         "near_dup.sigs",
+        eager=True,
     )
     a = sigs.withColumnRenamed("vid", "vec_a")
     b = sigs.withColumnRenamed("vid", "vec_b")

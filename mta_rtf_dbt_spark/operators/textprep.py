@@ -483,7 +483,7 @@ def pack_sequences(
     # phase-1 feeds both the bucket totals and the final offset join —
     # persist or the token-count scan runs twice (same fix as shard_plan)
     local = scoped_persist(
-        toks.withColumn("local_end", F.sum("n_tokens").over(wloc)), "pack.local"
+        toks.withColumn("local_end", F.sum("n_tokens").over(wloc)), "pack.local", eager=True
     )
     btot = local.groupBy("bucket").agg(F.max("local_end").alias("btotal"))
     boff = btot.withColumn(

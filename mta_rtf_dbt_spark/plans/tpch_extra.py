@@ -968,6 +968,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         "tpch.q11.val",
+        eager=True,
     )
     total = val.agg(
         (F.sum("part_value") * 3).alias("__tot3"),

@@ -164,7 +164,7 @@ def ingest_flatten_roundtrip(spark, sf_dir):
     )
     # parent and child both derive from the nested relation; persist it so
     # the collect_list aggregate runs once, not once per side of the FK join
-    nested = scoped_persist(nested, "ingest.nested")
+    nested = scoped_persist(nested, "ingest.nested", eager=True)
     parent, child = flatten_parent_child(nested, "items", ["o_orderkey"], "load_0001")
     return child.join(
         parent.select("_dlt_id", "o_orderkey"),
