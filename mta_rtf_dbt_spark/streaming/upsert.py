@@ -299,7 +299,11 @@ def stream_neardup_ingest(
             )
         )
         banded = real.unionAll(fallback)
+        # eager: banded feeds the in-batch self-join (both sides), the index
+        # probe, and the surviving-band anti-join — concurrent stages of one
+        # action would each recompute the signature aggregate otherwise
         banded.persist()
+        banded.count()
         try:
             a = banded.alias("a")
             b = banded.alias("b")
@@ -322,23 +326,30 @@ def stream_neardup_ingest(
                 drops = in_batch.unionAll(hits).distinct()
             else:
                 drops = in_batch
-            survivors = batch_df.join(
-                drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-            )
-            surviving_bands = banded.join(drops, "doc_id", "left_anti")
-            surviving_bands.persist()
+            # eager: drops (a tiny id set) feeds the corpus anti-join AND
+            # the band anti-join — cache it so the screening joins run once
+            drops = drops.persist()
+            drops.count()
             try:
-                if surviving_bands.count():
-                    survivors.write.mode("append").parquet(corpus_path)
-                    (
-                        surviving_bands.write.mode("append")
-                        .bucketBy(index_buckets, "bkey")
-                        .sortBy("bkey")
-                        .option("path", index_path)
-                        .saveAsTable(idx_table)
-                    )
+                survivors = batch_df.join(
+                    drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+                )
+                surviving_bands = banded.join(drops, "doc_id", "left_anti")
+                surviving_bands.persist()
+                try:
+                    if surviving_bands.count():
+                        survivors.write.mode("append").parquet(corpus_path)
+                        (
+                            surviving_bands.write.mode("append")
+                            .bucketBy(index_buckets, "bkey")
+                            .sortBy("bkey")
+                            .option("path", index_path)
+                            .saveAsTable(idx_table)
+                        )
+                finally:
+                    surviving_bands.unpersist()
             finally:
-                surviving_bands.unpersist()
+                drops.unpersist()
         finally:
             banded.unpersist()
 
