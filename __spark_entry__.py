@@ -113,6 +113,8 @@ _PRIORITY = [
     #    decontamination screen (broadcast-bitmap scale path) --
     "a_cms_portable",
     "text_bloom_decontaminate",
+    "stream_heavy_hitters",
+    "rag_chunk_retrieval",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -88,6 +88,11 @@ def main() -> None:
         "mta_m3",                  # calendar/service join + ppm delivery ratio
         "a_salted_skew_agg",       # two-stage salted aggregation
         "j_salted_skew_join",      # replicated-dim salted join
+        # round-5 late additions (first benched in r5)
+        "q2_min_cost_supplier",    # correlated-min decorrelation (agg+equijoin)
+        "q16_supplier_diversity",  # NOT IN anti-join + COUNT(DISTINCT)
+        "text_bloom_decontaminate",  # broadcast Bloom screen of heldout shingles
+        "a_cms_portable",          # mergeable count-min sketch column
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so

@@ -738,3 +738,180 @@ def ann_ivf_cosine(spark, sf_dir):
     cent = scoped_persist(ivf_fit(emb, n_lists=8, iters=3), "ivf.centroids")
     cent.count()
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cent, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk retrieval (r5): the end-to-end retrieval-indexing composite a
+# RAG ingestion pipeline runs over raw documents — sliding-window chunking,
+# feature-hashed chunk embeddings (hashing trick: portable polynomial term
+# hash -> signed bucket weights, Weinberger et al., ICML'09), and top-k
+# retrieval via an inverted index on the non-zero buckets. Every stage is
+# integer arithmetic under the engine's portable hash family, so the WHOLE
+# pipeline — chunk boundaries, vectors, scores, ranking — is hash-verified
+# against DuckDB (no rows-only cop-out anywhere).
+#
+# Scale: chunking is one explode (no shuffle); vectors are one hash agg on
+# (doc, chunk, bucket); retrieval joins the corpus index against the
+# BROADCAST query vectors on the bucket key — dot products accumulate with
+# one groupBy, never a cross join. At 100 TB the vec relation is the
+# persisted retrieval index (bucketed on `bucket`), and queries stream
+# against it.
+# ---------------------------------------------------------------------------
+RAG_CHUNK = 32    # tokens per chunk
+RAG_STRIDE = 16   # chunk stride (50% overlap)
+RAG_DIM = 1024    # feature-hash buckets
+RAG_TOPK = 5
+RAG_QUERY_MOD = 97  # doc_id % 97 == 0 -> query side
+
+
+def rag_chunk_vectors(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, bucket, w): feature-hashed sparse chunk vectors.
+    Sign comes from the hash bit above the bucket bits, the standard
+    unbiased hashing-trick estimator."""
+    from mta_rtf_dbt_spark.functions import text as T
+
+    arr = T.tokens(T.normalize(F.col("text")))
+    base = (
+        spread(docs)
+        .select("doc_id", arr.alias("arr"))
+        .withColumn("n", F.size("arr"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = base.select(
+        "doc_id",
+        "arr",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / RAG_STRIDE).cast("long"))
+        ).alias("chunk_id"),
+    )
+    terms = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.col("chunk_id") * RAG_STRIDE + 1,
+                    F.least(
+                        F.col("chunk_id") * RAG_STRIDE + RAG_CHUNK, F.col("n")
+                    ),
+                ),
+                lambda i: F.element_at("arr", i.cast("int")),
+            )
+        ).alias("term"),
+    )
+    h = T.poly_hash(F.col("term"))
+    sign = F.when(F.floor(h / RAG_DIM) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        terms.select(
+            "doc_id",
+            "chunk_id",
+            F.pmod(h, F.lit(RAG_DIM)).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def rag_retrieve_topk(vec: DataFrame, query_mod: int = RAG_QUERY_MOD, k: int = RAG_TOPK) -> DataFrame:
+    """Top-k corpus chunks per query chunk by integer dot product over the
+    inverted bucket index; deterministic (c_doc, c_chunk) tiebreakers."""
+    qv = vec.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_id").alias("q_chunk"),
+        "bucket",
+        F.col("w").alias("qw"),
+    )
+    cv = vec.filter(F.col("doc_id") % query_mod != 0).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_id").alias("c_chunk"),
+        "bucket",
+        F.col("w").alias("cw"),
+    )
+    scores = (
+        cv.join(F.broadcast(qv), "bucket")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.sum(F.col("qw") * F.col("cw")).cast("long").alias("dot"))
+        .filter(F.col("dot") > 0)
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("dot").desc(), F.col("c_doc").asc(), F.col("c_chunk").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _rag_oracle_sql() -> str:
+    from mta_rtf_dbt_spark.functions.text import POLY_BASE, POLY_MOD
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    base AS (SELECT doc_id, arr, len(arr) AS n FROM toks WHERE len(arr) > 0),
+    chunks AS (
+      SELECT doc_id, arr, n,
+             unnest(generate_series(0, (n - 1) // {RAG_STRIDE})) AS chunk_id
+      FROM base
+    ),
+    terms AS (
+      SELECT doc_id, chunk_id,
+             unnest(list_transform(
+               generate_series(chunk_id * {RAG_STRIDE} + 1,
+                               least(chunk_id * {RAG_STRIDE} + {RAG_CHUNK}, n)),
+               i -> arr[i])) AS term
+      FROM chunks
+    ),
+    uniq AS (SELECT DISTINCT term FROM terms),
+    hashed AS (
+      SELECT term,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(term)),
+                                i -> CAST(ascii(substring(term, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD}) AS h
+      FROM uniq
+    ),
+    vec AS (
+      SELECT t.doc_id, t.chunk_id, h.h % {RAG_DIM} AS bucket,
+             CAST(SUM(CASE WHEN (h.h // {RAG_DIM}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      FROM terms t JOIN hashed h USING (term)
+      GROUP BY 1, 2, 3
+      HAVING SUM(CASE WHEN (h.h // {RAG_DIM}) % 2 = 1 THEN 1 ELSE -1 END) <> 0
+    ),
+    scores AS (
+      SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+             c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+             CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      FROM vec q JOIN vec c ON q.bucket = c.bucket
+      WHERE q.doc_id % {RAG_QUERY_MOD} = 0 AND c.doc_id % {RAG_QUERY_MOD} <> 0
+      GROUP BY 1, 2, 3, 4
+      HAVING SUM(q.w * c.w) > 0
+    )
+    SELECT q_doc, q_chunk, c_doc, c_chunk, dot, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_doc, q_chunk
+                                   ORDER BY dot DESC, c_doc ASC, c_chunk ASC) AS rank
+      FROM scores
+    ) WHERE rank <= {RAG_TOPK}
+    """
+
+
+@q("rag_chunk_retrieval", _rag_oracle_sql())
+def rag_chunk_retrieval(spark, sf_dir):
+    """RAG indexing + retrieval end to end: sliding-window chunking ->
+    feature-hashed chunk vectors -> inverted-index dot-product top-k for
+    the query docs (doc_id % 97 == 0) — every stage integer-deterministic
+    and hash-verified against DuckDB replaying the identical pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    # the vector index feeds BOTH retrieval sides (queries broadcast from
+    # it, corpus probes it) — stage it eagerly, as the persisted retrieval
+    # index it is in production
+    vec = scoped_persist(rag_chunk_vectors(docs), "rag.vec", eager=True)
+    return rag_retrieve_topk(vec)

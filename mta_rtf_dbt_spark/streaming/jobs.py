@@ -331,3 +331,42 @@ def stream_tws_profile(spark, sf_dir):
         "top_type",
     )
     return run_to_memory(out, "update")
+
+
+@q(
+    "stream_heavy_hitters",
+    """
+    WITH tot AS (SELECT COUNT(*) AS t FROM events)
+    SELECT e.event_type, e.user_id, COUNT(*) AS item_count,
+           ROUND(COUNT(*) * 1.0 / MAX(tot.t), 6) AS support_frac
+    FROM events e, tot
+    GROUP BY e.event_type, e.user_id
+    HAVING COUNT(*) > MAX(tot.t) * 0.0005
+    """,
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """The streaming heavy-hitter monitor: per-(event_type, user_id) counts
+    maintained incrementally as streaming state (one stateful aggregate —
+    the count store a production monitor keeps warm), with the support
+    threshold applied as a cheap post-scan over the state table (the
+    report side; total arrives as a 1-row broadcast). One-shot drain makes
+    stream == batch, so the result hash-matches the exact batch operator
+    (operators/sketches.heavy_hitters_exact) and its oracle verbatim. At
+    scale the same shape runs windowed (see stream_hopping_windows) with a
+    CMS prefilter (a_cms_portable) bounding state for ultra-wide keys."""
+    src = stream_source(spark, sf_dir, "events")
+    counts = src.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("item_count")
+    )
+    sink = run_to_memory(counts, "complete")
+    total = sink.agg(F.sum("item_count").alias("__total"))
+    return (
+        sink.join(F.broadcast(total))
+        .filter(F.col("item_count") > F.col("__total") * 0.0005)
+        .select(
+            "event_type",
+            "user_id",
+            "item_count",
+            F.round(F.col("item_count") / F.col("__total"), 6).alias("support_frac"),
+        )
+    )

@@ -357,3 +357,27 @@ def test_winnowing_guarantee_shared_substring(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     # density sanity: ~2/(w+1) of positions selected, never zero for long docs
     assert all(len(v) > 0 for v in by_doc.values())
+
+
+def test_rag_retrieval_planted_relevance(spark):
+    """A query chunk sharing a verbatim passage with a corpus doc must
+    retrieve that doc at rank 1; an unrelated corpus doc must score below
+    it (feature-hash dot product preserves lexical overlap ordering)."""
+    from mta_rtf_dbt_spark.operators.similarity import (
+        RAG_QUERY_MOD,
+        rag_chunk_vectors,
+        rag_retrieve_topk,
+    )
+
+    passage = "the silver fox leapt across the frozen river at dawn carrying news"
+    rows = [
+        (0, passage + " and the village woke to the sound of bells"),  # query (0 % 97 == 0)
+        (1, "completely different content about database engines and shuffles"),
+        (2, passage + " while hunters watched from the tall pines nearby"),  # relevant
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert 0 % RAG_QUERY_MOD == 0 and 2 % RAG_QUERY_MOD != 0
+    vec = rag_chunk_vectors(docs)
+    out = rag_retrieve_topk(vec).collect()
+    top = [r for r in out if r.q_doc == 0 and r.rank == 1]
+    assert top and all(r.c_doc == 2 for r in top), out

@@ -214,3 +214,49 @@ def test_new_text_ops_plan_shapes(spark):
 
     for m in re.finditer(r"Window \[[^\]]*partitionBy=\[\]", spans):
         raise AssertionError(f"unpartitioned window in dup_spans plan: {m.group(0)}")
+
+
+def test_q2_decorrelation_plan(spark):
+    """Q2's correlated-MIN must decorrelate to aggregate-then-equijoin with
+    every dim broadcast: no SortMergeJoin at test SF, no CartesianProduct
+    ever, and the fact scanned once (the offer aggregate feeds both the
+    per-part min and the final lookup from one subtree)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q2_min_cost_supplier"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final
+    assert final.count("lineitem.parquet") <= 2  # offer agg reused, not rebuilt per branch
+
+
+def test_q16_anti_join_and_distinct(spark):
+    """Q16's NOT IN must plan as a broadcast anti-join (non-null key), and
+    the supplier-diversity count as a single expand+agg, not a join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q16_supplier_diversity"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "LeftAnti, BuildRight" in final or (
+        "LeftAnti" in final and "BroadcastHashJoin" in final
+    ), final
+    assert "CartesianProduct" not in final
+
+
+def test_q20_semi_chain_plan(spark):
+    """Q20: the qualifying-supplier set must arrive as a LeftSemi, the
+    part-prune and dims as broadcasts, and the two pair aggregates must
+    share their (partkey, suppkey) key (no Cartesian, no row explosion)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q20_concentrated_supply"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "LeftSemi" in final
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
