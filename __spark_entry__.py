@@ -115,6 +115,7 @@ _PRIORITY = [
     "text_bloom_decontaminate",
     "stream_heavy_hitters",
     "rag_chunk_retrieval",
+    "a_kmv_portable",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -407,3 +407,96 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(
         load(spark, sf_dir, "events"), ["event_type"], "user_id", support=0.0005
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV / bottom-k sketch (r5): the third mergeable sketch family —
+# the k minimum distinct hash values (Bar-Yossef et al., RANDOM'02; the
+# theta-sketch core). Unlike HLL its state IS a sample of the keyspace
+# (set operations — intersection/union estimates — compose from it), and
+# the merge is union-then-rebottom-k. Same portable-family discipline:
+# integer state, integer estimate ((k-1) * P div kth_min), driver
+# hash-checked end to end.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+KMV_A = 2_654_435_761 % HLL_P  # Knuth multiplicative constant, reduced mod P
+KMV_B = 104_729
+
+
+def kmv_portable_merge(
+    df: DataFrame, shard_col: str, keys: list[str], col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-(shard, group) bottom-k partials merged per group by
+    union-and-rebottom-k. Output per group: retained-value count, the kth
+    minimum, the integer distinct estimate, and the state itself as a
+    joined string (driver-hashable; at scale the array column persists)."""
+    h = F.pmod(F.pmod(F.col(col).cast("long"), F.lit(HLL_P)) * KMV_A + KMV_B, F.lit(HLL_P))
+    partials = (
+        df.select(*keys, F.col(shard_col).alias("__shard"), h.alias("h"))
+        .groupBy(*keys, "__shard")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    merged = (
+        partials.select(*keys, F.explode("mins").alias("h"))
+        .groupBy(*keys)
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"))
+    )
+    n_kept = F.size("mins")
+    kth = F.element_at("mins", n_kept)
+    est = F.when(
+        n_kept < k, n_kept.cast("long")  # exact below k distinct
+    ).otherwise(F.expr(f"CAST(({k} - 1) * {HLL_P}L div element_at(mins, {k}) AS BIGINT)"))
+    return merged.select(
+        *keys,
+        n_kept.cast("long").alias("n_kept"),
+        kth.cast("long").alias("kth_min"),
+        est.alias("kmv_estimate"),
+        F.array_join(F.transform("mins", lambda v: v.cast("string")), "|").alias(
+            "kmv_state"
+        ),
+    )
+
+
+def _kmv_oracle_sql(k: int = KMV_K) -> str:
+    return f"""
+    WITH h AS (
+      SELECT event_type, event_id % 8 AS shard,
+             ((user_id % {HLL_P}) * {KMV_A} + {KMV_B}) % {HLL_P} AS hv
+      FROM events
+    ),
+    partials AS (
+      SELECT event_type, shard,
+             list_sort(list(DISTINCT hv))[1:{k}] AS mins
+      FROM h GROUP BY 1, 2
+    ),
+    exploded AS (SELECT event_type, unnest(mins) AS hv FROM partials),
+    merged AS (
+      SELECT event_type, list_sort(list(DISTINCT hv))[1:{k}] AS mins
+      FROM exploded GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(mins) AS BIGINT) AS n_kept,
+           CAST(mins[len(mins)] AS BIGINT) AS kth_min,
+           CAST(CASE WHEN len(mins) < {k} THEN len(mins)
+                     ELSE CAST({k} - 1 AS BIGINT) * {HLL_P} // mins[{k}] END AS BIGINT)
+             AS kmv_estimate,
+           array_to_string(list_transform(mins, v -> CAST(v AS VARCHAR)), '|')
+             AS kmv_state
+    FROM merged
+    """
+
+
+@q("a_kmv_portable", _kmv_oracle_sql())
+def a_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k distinct sketch COLUMN with engine-reproducible
+    state (the HLL/CMS sibling whose state supports set-operation
+    estimates): shard bottom-k partials -> union-rebottom-k merge -> exact
+    count below k, (k-1)*P/kth estimate above — all hash-verified, error
+    bound asserted in test_sketches."""
+    e = load(spark, sf_dir, "events")
+    return kmv_portable_merge(
+        e.withColumn("__s", (F.col("event_id") % 8).cast("long")),
+        "__s",
+        ["event_type"],
+        "user_id",
+    )

@@ -176,3 +176,37 @@ def test_cms_portable_guarantees(spark, events):
             assert est >= ex, (et, p, est, ex)
             # min over 4 rows; expected collision mass per counter ~ N/W
             assert est <= ex + 8 * max(totals[et] // CMS_W, 1) + 8, (et, p, est, ex)
+
+
+def test_kmv_portable_guarantees(spark, events):
+    """KMV invariants: below k distinct the sketch is EXACT; above k the
+    estimate lands within a loose relative bound (rsd ~ 1/sqrt(k-2)); and
+    shard-merge equals the single-shard sketch state-for-state."""
+    from mta_rtf_dbt_spark.operators.sketches import KMV_K, kmv_portable_merge
+
+    sharded = events.withColumn("__s", (F.col("event_id") % 8).cast("long"))
+    merged = {
+        r.event_type: r
+        for r in kmv_portable_merge(sharded, "__s", ["event_type"], "user_id").collect()
+    }
+    single = {
+        r.event_type: r
+        for r in kmv_portable_merge(
+            events.withColumn("__s", F.lit(0)), "__s", ["event_type"], "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, n in exact.items():
+        r = merged[et]
+        assert r.kmv_state == single[et].kmv_state  # merge associativity
+        if n < KMV_K:
+            assert r.kmv_estimate == n and r.n_kept == n
+        else:
+            assert r.n_kept == KMV_K
+            assert abs(r.kmv_estimate - n) / n < 0.5, (et, r.kmv_estimate, n)
