@@ -116,6 +116,7 @@ _PRIORITY = [
     "stream_heavy_hitters",
     "rag_chunk_retrieval",
     "a_kmv_portable",
+    "a_kmv_setops",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -500,3 +500,84 @@ def a_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         "user_id",
     )
+
+
+def _kmv_mins(df: DataFrame, keys: list[str], col: str, k: int = KMV_K):
+    h = F.pmod(F.pmod(F.col(col).cast("long"), F.lit(HLL_P)) * KMV_A + KMV_B, F.lit(HLL_P))
+    return df.select(*keys, h.alias("h")).groupBy(*keys).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins")
+    )
+
+
+@q(
+    "a_kmv_setops",
+    f"""
+    WITH h AS (
+      SELECT event_type, ((user_id % {HLL_P}) * {KMV_A} + {KMV_B}) % {HLL_P} AS hv
+      FROM events
+    ),
+    mins AS (
+      SELECT event_type, list_sort(list(DISTINCT hv))[1:{KMV_K}] AS mins
+      FROM h GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:{KMV_K}] AS u,
+             a.mins AS ma, b.mins AS mb
+      FROM mins a JOIN mins b ON a.event_type < b.event_type
+    ),
+    stats AS (
+      SELECT type_a, type_b,
+             len(u) AS n_union_kept,
+             len(list_filter(u, x -> list_contains(ma, x) AND list_contains(mb, x)))
+               AS n_shared,
+             CASE WHEN len(u) < {KMV_K} THEN len(u)
+                  ELSE CAST({KMV_K} - 1 AS BIGINT) * {HLL_P} // u[{KMV_K}] END AS union_est
+      FROM pairs
+    )
+    SELECT type_a, type_b,
+           CAST(n_union_kept AS BIGINT) AS n_union_kept,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(union_est AS BIGINT) AS union_est,
+           CAST(CASE WHEN n_union_kept < {KMV_K} THEN n_shared
+                     ELSE n_shared * union_est // {KMV_K} END AS BIGINT) AS intersect_est
+    FROM stats
+    """,
+)
+def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates FROM KMV sketch state — the capability HLL
+    registers don't have: for every event-type pair, the union sketch is
+    bottom-k of the concatenated states, Jaccard_hat = shared-in-union / k,
+    and |A intersect B| ~= Jaccard_hat * union_est (Beyer et al., SIGMOD'07
+    / theta-sketch set algebra). Exact when the union retains < k values;
+    integer arithmetic throughout, so every pair's estimate hash-matches
+    the DuckDB replay. At 100 TB the states come from the persisted sketch
+    column — no raw-data rescan per pair query."""
+    e = load(spark, sf_dir, "events")
+    mins = _kmv_mins(e, ["event_type"], "user_id")
+    a = mins.select(F.col("event_type").alias("type_a"), F.col("mins").alias("ma"))
+    b = mins.select(F.col("event_type").alias("type_b"), F.col("mins").alias("mb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u = F.slice(F.sort_array(F.array_distinct(F.concat("ma", "mb"))), 1, KMV_K)
+    pairs = pairs.select("type_a", "type_b", "ma", "mb", u.alias("u"))
+    n_union = F.size("u")
+    n_shared = F.size(
+        F.filter(
+            "u",
+            lambda x: F.array_contains(F.col("ma"), x)
+            & F.array_contains(F.col("mb"), x),
+        )
+    )
+    union_est = F.when(n_union < KMV_K, n_union.cast("long")).otherwise(
+        F.expr(f"CAST(({KMV_K} - 1) * {HLL_P}L div element_at(u, {KMV_K}) AS BIGINT)")
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        n_union.cast("long").alias("n_union_kept"),
+        n_shared.cast("long").alias("n_shared"),
+        union_est.alias("union_est"),
+        F.when(n_union < KMV_K, n_shared.cast("long"))
+        .otherwise((n_shared.cast("long") * union_est / KMV_K).cast("long"))
+        .alias("intersect_est"),
+    )

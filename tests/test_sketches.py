@@ -210,3 +210,25 @@ def test_kmv_portable_guarantees(spark, events):
         else:
             assert r.n_kept == KMV_K
             assert abs(r.kmv_estimate - n) / n < 0.5, (et, r.kmv_estimate, n)
+
+
+def test_kmv_setops_estimates(spark, events):
+    """Pairwise intersection estimates from KMV state: exact when the union
+    sketch retains < k values; otherwise within a loose relative bound of
+    the true overlap (and never negative)."""
+    from mta_rtf_dbt_spark.operators.sketches import KMV_K, QUERIES
+
+    out = QUERIES["a_kmv_setops"](spark, "/root/testdata/sf0.01").collect()
+    exact = {}
+    users = {
+        r.event_type: set(u[0] for u in events.filter(F.col("event_type") == r.event_type)
+                          .select("user_id").distinct().collect())
+        for r in events.select("event_type").distinct().collect()
+    }
+    for r in out:
+        true_inter = len(users[r.type_a] & users[r.type_b])
+        assert r.intersect_est >= 0
+        if r.n_union_kept < KMV_K:
+            assert r.intersect_est == true_inter, (r, true_inter)
+        elif true_inter > 0:
+            assert abs(r.intersect_est - true_inter) / true_inter < 0.8, (r, true_inter)
