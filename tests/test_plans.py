@@ -260,3 +260,22 @@ def test_q20_semi_chain_plan(spark):
     assert "LeftSemi" in final
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in final
+
+
+def test_rag_and_bloom_broadcast_plans(spark):
+    """The RAG query vectors and the Bloom bit set are tiny by construction
+    — both must enter their joins as broadcasts (a shuffled probe of either
+    would drag the big side through an exchange for nothing)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, marker in [
+        ("rag_chunk_retrieval", "BroadcastHashJoin"),
+        ("text_bloom_decontaminate", "BroadcastHashJoin"),
+    ]:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert marker in final, f"{name}: no broadcast join\n{final}"
+        assert "CartesianProduct" not in final, name
