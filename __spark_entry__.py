@@ -90,6 +90,7 @@ _PRIORITY = [
     # -- new this round: dbt-incremental materialization of the core model,
     #    Q9/Q21-shape analogs --
     "mta_fts_incremental",
+    "mta_stream_fts",
     "q9_product_profit",
     "q21_sole_returner",
     # -- new this round: the five remaining TPC-H shapes (all 22 now

@@ -359,3 +359,49 @@ def stream_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_model_maintenance(
+    spark: SparkSession,
+    source_tu: DataFrame,
+    static_src: dict,
+    target_path: str,
+    checkpoint: str,
+):
+    """Maintain the reference's core model (``fact_trips_stops``) from a
+    stream of ``trip_updates`` loads — the streaming form of dbt's
+    incremental materialization (reference ``models/fact_trips_stops.sql``
+    config block): each micro-batch builds the model over ONLY the arriving
+    parent snapshots (the model is row-local per (tu, stu); the child and
+    dim relations come from ``static_src``) and MERGEs it into the target
+    on the snapshot grain (tu_id, stu_id).
+
+    Exactly-once table under at-least-once delivery: a redelivered load
+    re-derives byte-identical model rows and the MERGE update branch
+    rewrites them in place. At 100 TB the per-batch model build touches
+    only the arriving partition — the full-rebuild cost is never paid
+    after the first load. Returns the completed StreamingQuery."""
+    from mta_rtf_dbt_spark.plans.mta_models import fact_trips_stops
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        import os
+
+        if not batch_df.columns:
+            return
+        src = dict(static_src)
+        src["trip_updates"] = batch_df
+        delta = fact_trips_stops(src)
+        if not os.path.isdir(target_path):
+            # first load bootstraps the table; every later load MERGEs
+            delta.write.mode("overwrite").parquet(target_path)
+        else:
+            merge_write(
+                spark, target_path, delta, ["tu_id", "stu_id"], broadcast_source=True
+            )
+
+    return (
+        source_tu.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
