@@ -118,6 +118,7 @@ _PRIORITY = [
     "rag_chunk_retrieval",
     "a_kmv_portable",
     "a_kmv_setops",
+    "a_hdr_quantiles",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

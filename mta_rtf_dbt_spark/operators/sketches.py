@@ -581,3 +581,125 @@ def a_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((n_shared.cast("long") * union_est / KMV_K).cast("long"))
         .alias("intersect_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HDR-style quantile histogram (r5): the quantile member of the
+# portable sketch family (HLL distinct / CMS frequency / KMV sets / HDR
+# quantiles). Log-bucketed counters with 5 sub-bucket bits — relative error
+# <= 2^-5 per quantile, exact below 64 — merge by counter SUM (the HdrHistogram
+# rollup), state and extracted quantiles all integer and hash-verified.
+# Values enter as micro-units (floor(value * 1e6)); bins:
+#   v < 64              -> bin = v                      (exact regime)
+#   v >= 64, bitlen L   -> bin = L*64 + (v >> (L-6))    (top 6 bits, id-disjoint)
+# Lower-bound reconstruction inverts the same arithmetic.
+# ---------------------------------------------------------------------------
+HDR_SUBBITS = 5
+
+
+def _hdr_bin(v):
+    bl = F.length(F.bin(v))
+    top = F.expr(
+        "CAST(__hdr_v div shiftleft(1L, CAST(length(bin(__hdr_v)) - 6 AS INT)) AS BIGINT)"
+    )
+    return F.when(v < 64, v).otherwise(bl.cast("long") * 64 + top)
+
+
+def hdr_quantiles_merge(
+    df: DataFrame, shard_col: str, keys: list[str], col: str
+) -> DataFrame:
+    """Per-(shard, group) HDR partials merged per group by bin SUM, then
+    p50/p95 extracted from the cumulative distribution — lower-bound-of-bin
+    estimates in micro-units, relative error <= 2^-5."""
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(col) * 1000000).cast("long")
+    cells = df.select(*keys, F.col(shard_col).alias("__shard"), v.alias("__hdr_v"))
+    cells = cells.withColumn("bin", _hdr_bin(F.col("__hdr_v")))
+    partials = cells.groupBy(*keys, "__shard", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = partials.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*keys)
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    lb = (
+        cum.withColumn("__hdr_L", F.floor(F.col("bin") / 64).cast("int"))
+        .withColumn(
+            "lb",
+            F.when(F.col("bin") < 64, F.col("bin")).otherwise(
+                F.pmod(F.col("bin"), F.lit(64))
+                * F.expr("shiftleft(1L, CAST(__hdr_L - 6 AS INT))")
+            ),
+        )
+    )
+    return lb.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum((F.col("bin") + 1) * F.col("cnt")).cast("long").alias("bin_chk"),
+        F.max("total").cast("long").alias("n_values"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("lb")))
+        .cast("long")
+        .alias("p50_lb_micro"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("lb")))
+        .cast("long")
+        .alias("p95_lb_micro"),
+    )
+
+
+@q(
+    "a_hdr_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type, event_id % 8 AS shard,
+             CAST(floor(value * 1000000) AS BIGINT) AS hv
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, shard,
+             CASE WHEN hv < 64 THEN hv
+                  ELSE length(bin(hv)) * 64
+                       + hv // (CAST(1 AS BIGINT) << (length(bin(hv)) - 6)) END AS bin
+      FROM v
+    ),
+    partials AS (
+      SELECT event_type, shard, bin, COUNT(*) AS cnt
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bin, SUM(cnt) AS cnt FROM partials GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total,
+             CASE WHEN bin < 64 THEN bin
+                  ELSE (bin % 64) * (CAST(1 AS BIGINT) << (CAST(bin // 64 AS INT) - 6)) END AS lb
+      FROM merged
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM((bin + 1) * cnt) AS BIGINT) AS bin_chk,
+           CAST(MAX(total) AS BIGINT) AS n_values,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN lb END) AS BIGINT) AS p50_lb_micro,
+           CAST(MIN(CASE WHEN cum * 20 >= total * 19 THEN lb END) AS BIGINT) AS p95_lb_micro
+    FROM cum GROUP BY event_type
+    """,
+)
+def a_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile histogram COLUMN with engine-reproducible bins
+    (HdrHistogram-style log buckets, 5 sub-bucket bits): shard partials ->
+    bin-sum merge -> p50/p95 lower-bound extraction, all integers and
+    hash-verified; <= 2^-5 relative error vs exact percentiles asserted in
+    test_sketches."""
+    e = load(spark, sf_dir, "events")
+    return hdr_quantiles_merge(
+        e.withColumn("__s", (F.col("event_id") % 8).cast("long")),
+        "__s",
+        ["event_type"],
+        "value",
+    )

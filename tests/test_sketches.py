@@ -232,3 +232,39 @@ def test_kmv_setops_estimates(spark, events):
             assert r.intersect_est == true_inter, (r, true_inter)
         elif true_inter > 0:
             assert abs(r.intersect_est - true_inter) / true_inter < 0.8, (r, true_inter)
+
+
+def test_hdr_quantile_error_bound(spark, events):
+    """HDR extraction from the emitted bins: p50/p95 lower bounds must
+    bracket the exact percentile within one bin (<= 2^-5 relative below,
+    never above the exact value by construction of lower-bound extraction);
+    shard-merge equals the direct sketch bin-for-bin."""
+    from mta_rtf_dbt_spark.operators.sketches import hdr_quantiles_merge
+
+    sharded = events.withColumn("__s", (F.col("event_id") % 8).cast("long"))
+    merged = {
+        r.event_type: r
+        for r in hdr_quantiles_merge(sharded, "__s", ["event_type"], "value").collect()
+    }
+    single = {
+        r.event_type: r
+        for r in hdr_quantiles_merge(
+            events.withColumn("__s", F.lit(0)), "__s", ["event_type"], "value"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(CAST(floor(value * 1000000) AS BIGINT), 0.5)").alias("p50"),
+            F.expr("percentile(CAST(floor(value * 1000000) AS BIGINT), 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, r in merged.items():
+        assert r.bin_chk == single[et].bin_chk  # merge associativity
+        for est, ex in [(r.p50_lb_micro, exact[et].p50), (r.p95_lb_micro, exact[et].p95)]:
+            # lower bound of the bin containing the percentile rank:
+            # within one bin width (rel 2^-5) of the exact percentile
+            assert est <= ex * 1.001, (et, est, ex)
+            assert est >= ex * (1 - 2 ** -5) * 0.97, (et, est, ex)
