@@ -547,3 +547,47 @@ def test_stream_dedup_ingest_survives_catalog_loss(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 2, 4}  # 3 rejected via the parquet-fallback probe
     assert spark.catalog.tableExists(idx_table)  # re-registered by the write
+
+
+def test_stream_model_maintenance_replay_idempotent(spark, tmp_path_factory):
+    """Redelivering every load through the model-maintenance sink must leave
+    the serving table unchanged: each load re-derives byte-identical model
+    rows and the MERGE update branch rewrites them in place (the
+    exactly-once-table claim of stream_model_maintenance)."""
+    import shutil
+
+    from mta_rtf_dbt_spark.plans.mta_driver import _src
+    from mta_rtf_dbt_spark.streaming.upsert import stream_model_maintenance
+
+    tmp = str(tmp_path_factory.mktemp("mta_stream_replay"))
+    src = _src(spark)
+    tu = src["trip_updates"]
+    static = {k: v for k, v in src.items() if k != "trip_updates"}
+    os.makedirs(f"{tmp}/incoming")
+    loads = [
+        r[0]
+        for r in tu.select("_dlt_load_id").distinct().orderBy("_dlt_load_id").collect()
+    ]
+    for i, ld in enumerate(loads):
+        stage = f"{tmp}/stage_{i}"
+        tu.filter(F.col("_dlt_load_id") == ld).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", f"{tmp}/incoming/load_{i:03d}.parquet")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(tu.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/incoming")
+        )
+        q = stream_model_maintenance(spark, stream, static, f"{tmp}/fts", ckpt)
+        assert q.awaitTermination(300)
+
+    drain(f"{tmp}/ckpt1")
+    first = sorted(map(tuple, spark.read.parquet(f"{tmp}/fts").collect()))
+    # fresh checkpoint -> the file source redelivers every load
+    drain(f"{tmp}/ckpt2")
+    second = sorted(map(tuple, spark.read.parquet(f"{tmp}/fts").collect()))
+    assert first == second and len(first) > 0
