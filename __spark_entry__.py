@@ -119,6 +119,11 @@ _PRIORITY = [
     "a_kmv_portable",
     "a_kmv_setops",
     "a_hdr_quantiles",
+    # -- new this round: product-analytics shapes (funnel, cohort
+    #    retention, fact-to-SCD2 temporal lookup) --
+    "a_event_funnel",
+    "a_cohort_retention",
+    "j_temporal_scd2_lookup",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -609,3 +609,195 @@ def m11_analog(spark, sf_dir):
     return e.groupBy(
         "event_type", bq.timestamp_trunc(F.col("ts"), "hour").alias("ts_hour")
     ).agg(F.round(F.avg(lat), 6).alias("avg_subminute_s"))
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes (r5): funnel, cohort retention, temporal SCD2
+# lookup — the three analytic compositions every warehouse workload runs
+# that the reference's metric cookbook stops short of. All integer/exact
+# outputs, fully oracle-checked.
+# ---------------------------------------------------------------------------
+@q(
+    "a_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n1,
+             COUNT(c.user_id) AS n2,
+             COUNT(p.user_id) AS n3
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+    )
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 1000000 // NULLIF(n1, 0) AS BIGINT) AS conv_ppm
+    FROM (
+      SELECT '1_view' AS stage, n1 AS n_users, n1 FROM agg
+      UNION ALL SELECT '2_click', n2, n1 FROM agg
+      UNION ALL SELECT '3_purchase', n3, n1 FROM agg
+    )
+    ORDER BY stage
+    """,
+)
+def a_event_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase, strictly
+    increasing timestamps): per-stage user counts + conversion ppm vs the
+    top of the funnel. Shape: three user-keyed aggregates chained by
+    equi-joins with a time residual — one shuffle key throughout (AQE
+    co-partitions the chain), never a per-user subquery."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    agg = (
+        v.join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("__c").alias("n2"),
+            F.count("__p").alias("n3"),
+        )
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)"
+                " AS (stage, n_users)"
+            ),
+            F.col("n1"),
+        )
+        .select(
+            "stage",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("CAST(n_users * 1000000L div NULLIF(n1, 0) AS BIGINT)").alias(
+                "conv_ppm"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+@q(
+    "a_cohort_retention",
+    """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT c.cohort_week,
+           CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def a_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = a user's first active epoch
+    week (integer 604800-second buckets — engine-identical arithmetic, no
+    calendar-week convention drift), cell = distinct users from that cohort
+    active at each later offset. Shape: one user-keyed min-aggregate
+    broadcast back over the distinct activity relation; one shuffle each."""
+    e = load(spark, sf_dir, "events")
+    wk = e.select("user_id", F.expr(
+        "CAST(CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 604800 AS BIGINT)"
+    ).alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@q(
+    "j_temporal_scd2_lookup",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_id, ts, value FROM ordered
+      WHERE prev_value IS NULL OR value <> prev_value
+    ),
+    hist AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+      FROM chg
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           h.valid_from AS version_valid_from, h.value_milli AS version_value_milli
+    FROM events e
+    JOIN hist h ON h.user_id = e.user_id
+               AND e.ts >= h.valid_from
+               AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def j_temporal_scd2_lookup(spark, sf_dir):
+    """Temporal dimension lookup: every purchase event joined to the SCD2
+    version of its user that was valid AT the event's timestamp (the
+    fact-to-SCD2-dim AS OF join every warehouse runs). Shape: equi-join on
+    the key with an interval residual (J6) — the history side comes from
+    the same scd2_from_events operator the snapshot entry gates."""
+    from mta_rtf_dbt_spark.operators.scd2 import scd2_from_events
+
+    e = load(spark, sf_dir, "events")
+    hist = scd2_from_events(e, ["user_id"], ["ts", "event_id"], "value").select(
+        F.col("user_id").alias("h_user"),
+        "valid_from",
+        "valid_to",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    ev = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return ev.join(
+        hist,
+        (ev.user_id == F.col("h_user"))
+        & (ev.ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (ev.ts < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("valid_from").alias("version_valid_from"),
+        F.col("value_milli").alias("version_value_milli"),
+    )
