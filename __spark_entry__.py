@@ -124,6 +124,9 @@ _PRIORITY = [
     "a_event_funnel",
     "a_cohort_retention",
     "j_temporal_scd2_lookup",
+    # -- new this round: BPE tokenizer TRAINING (distributed word-frequency
+    #    merges; every round replayed in the oracle SQL) --
+    "bpe_train_merges",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

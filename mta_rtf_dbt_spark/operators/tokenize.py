@@ -16,6 +16,18 @@ Three layers, decreasing SQL-expressibility:
    iterative per position → Arrow-batched pandas UDF over a broadcast
    vocab dict; verified in tests against a pure-Python reference, invariant:
    decode(encode(x)) == x when the vocab covers the alphabet.
+4. **BPE merge training** (`bpe_train_merges`) — the tokenizer-TRAINING
+   side (Sennrich et al. 2016, word-frequency variant): iterate
+   (count adjacent symbol pairs weighted by word frequency → pick the max →
+   merge it everywhere). State stays distributed (the word-frequency table,
+   ~vocabulary-sized — millions of rows at 100 TB, never the corpus);
+   per round the only driver value is the ONE winning pair (an O(1)
+   reduction, the merge decision itself). The merge application is a pure
+   string operation — each word's symbols rendered as \\x1f<sym>\\x1e
+   spans, the pair merged with a literal left-to-right non-overlapping
+   `replace` — which makes every round, and therefore the whole training
+   loop, expressible in ANSI SQL: the driver oracle replays all rounds as
+   chained DuckDB CTEs and the learned merge table must match exactly.
 """
 
 from __future__ import annotations
@@ -23,7 +35,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -174,3 +186,134 @@ def subword_encode(
     return df.withColumn("token_ids", enc(F.col(text_col))).withColumn(
         "n_subword_tokens", F.size("token_ids")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — distributed word-frequency BPE (Sennrich 2016).
+# ---------------------------------------------------------------------------
+BPE_MERGES = 8
+_SO = "\x1f"  # symbol-open marker (unit separator)
+_SC = "\x1e"  # symbol-close marker (record separator)
+
+# Adjacent symbol pairs of one word; guarded because Spark's sequence(1, 0)
+# produces a DESCENDING [1, 0], not an empty array.
+_PAIRS_EXPR = (
+    "CASE WHEN size(syms) >= 2 THEN "
+    "transform(sequence(1, size(syms)-1), "
+    "i -> struct(element_at(syms, i) AS a, element_at(syms, i+1) AS b)) "
+    "ELSE array() END"
+)
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms): the distinct-word frequency table BPE trains on,
+    each word pre-split into single-character symbols. Words containing the
+    internal span markers are dropped (they cannot occur in real text; the
+    filter keeps the string-rendered merge step injective)."""
+    words = (
+        docs.select(F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .filter(~F.col("word").contains(_SO) & ~F.col("word").contains(_SC))
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+        "word", "cnt", F.split("word", "").alias("syms")
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Merge every adjacent (a, b) in a symbol array, greedy left-to-right
+    non-overlapping — BPE's exact application order. Rendered as
+    \\x1fsym\\x1e spans so a literal `replace` can only match whole symbols
+    (a suffix like 'xa'+'b' can never match the '\\x1fa\\x1e\\x1fb\\x1e'
+    pattern), then split back. All JVM-side string ops, no UDF."""
+    s = F.concat_ws("", F.transform(syms, lambda x: F.concat(F.lit(_SO), x, F.lit(_SC))))
+    merged = F.replace(s, F.lit(_SO + a + _SC + _SO + b + _SC), F.lit(_SO + a + b + _SC))
+    return F.transform(
+        F.filter(F.split(merged, _SC), lambda x: x != F.lit("")),
+        lambda x: F.substring(x, 2, F.length(x)),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge table
+    (rank, lhs, rhs, merged, pair_count) — the artifact a tokenizer ships.
+
+    Scale shape: each round is one map-combined pair-count aggregate over
+    the word-frequency table plus one narrow merge rewrite; the corpus
+    itself is touched once (the word count). The single `.first()` per
+    round collects exactly one row — the chosen merge — which is the
+    irreducible sequential decision of the algorithm, not data movement.
+    Lineage is cut per round (localCheckpoint) so round r doesn't replay
+    rounds 0..r-1 — the standard Spark iteration discipline (graph.py)."""
+    spark = docs.sparkSession
+    wc = bpe_word_counts(docs).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            wc.select(F.col("cnt"), F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
+        wc = wc.withColumn("syms", _apply_merge(F.col("syms"), top["a"], top["b"]))
+        wc = wc.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """Replays the full training loop as chained DuckDB CTEs — one
+    (pair-count top-1, merge-applied words) CTE pair per round, the merge
+    applied with the same span-rendered literal replace. LEFT JOIN ON TRUE
+    keeps later rounds alive if a round runs out of pairs (then it selects
+    nothing, matching the engine's early break)."""
+    so, sc = "chr(31)", "chr(30)"
+    ctes = [
+        f"""w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, string_split(word, '') AS syms
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, {so}) AND NOT contains(word, {sc})
+      GROUP BY word
+    )"""
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+      SELECT s.a AS a, s.b AS b, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (SELECT cnt,
+                   unnest(CASE WHEN len(syms) >= 2
+                          THEN list_transform(generate_series(1, len(syms)-1),
+                                              i -> struct_pack(a := syms[i], b := syms[i+1]))
+                          ELSE [] END) AS s
+            FROM w{r})
+      GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    )""")
+        ctes.append(f"""w{r + 1} AS (
+      SELECT word, cnt,
+             CASE WHEN p.a IS NULL THEN syms ELSE
+               list_transform(
+                 list_filter(string_split(
+                   replace(list_aggregate(list_transform(syms, x -> {so}||x||{sc}), 'string_agg', ''),
+                           {so}||p.a||{sc}||{so}||p.b||{sc}, {so}||p.a||p.b||{sc}),
+                   {sc}), x -> x <> ''), x -> x[2:])
+             END AS syms
+      FROM w{r} LEFT JOIN p{r} p ON TRUE
+    )""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r + 1} AS rank, a AS lhs, b AS rhs, a||b AS merged, n AS pair_count FROM p{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@q("bpe_train_merges", _bpe_oracle_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-8 BPE merges over the documents corpus. The oracle
+    replays every round (pair counting, deterministic top-1 tiebreak on
+    (count DESC, lhs, rhs), greedy merge application) in pure SQL and the
+    learned merge table must match bit-for-bit."""
+    return bpe_train(load(spark, sf_dir, "documents"))

@@ -47,3 +47,64 @@ def test_encode_oov_consistency(spark):
     # every doc's OOV count is bounded by its token count; totals positive
     bad = enc.filter((F.col("n_oov") > F.col("n_tokens")) | (F.col("n_tokens") <= 0))
     assert bad.count() == 0
+
+
+def _bpe_reference(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich-style BPE over a word-frequency dict."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from mta_rtf_dbt_spark.operators.tokenize import bpe_train
+
+    # classic BPE corpus: overlapping runs + a merge that must compose
+    # ("lo"+"w" after "l"+"o") + greedy non-overlap inside "aaaa"
+    rows = [
+        (1, "low low low low lower lower newest newest"),
+        (2, "newest newest newest widest widest aaaa"),
+        (3, "low lower lowest aaaa aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc: dict[str, int] = {}
+    for _, text in rows:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(wc, 6)
+    # learned merges must include a composed (multi-char) merge by rank 6
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
+
+
+def test_bpe_train_partition_invariant(spark):
+    from mta_rtf_dbt_spark.operators.tokenize import bpe_train
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    docs = load(spark, SF, "documents")
+    a = bpe_train(docs, n_merges=3).collect()
+    b = bpe_train(docs.repartition(7), n_merges=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
