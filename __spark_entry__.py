@@ -125,8 +125,10 @@ _PRIORITY = [
     "a_cohort_retention",
     "j_temporal_scd2_lookup",
     # -- new this round: BPE tokenizer TRAINING (distributed word-frequency
-    #    merges; every round replayed in the oracle SQL) --
+    #    merges; every round replayed in the oracle SQL) and integer
+    #    PageRank (fixed-round iterative graph rank, CC's sibling) --
     "bpe_train_merges",
+    "graph_pagerank",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -297,6 +297,133 @@ def dedup_keep_list_frame(docs: DataFrame, edges: DataFrame, id_col: str = "doc_
         F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
         (F.col("node") == F.coalesce(F.col("component"), F.col("node"))).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the second iterative-graph member (CC's sibling): fixed-round,
+# integer-arithmetic, hence engine-reproducible and fully oracle-checkable.
+# ---------------------------------------------------------------------------
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, rank_scaled): PageRank with damping 0.85 over a directed edge
+    set, ``n_iter`` fixed rounds, ALL arithmetic in scaled integers so the
+    result is bit-identical on any engine (float summation order can never
+    drift the hash — the same micro-integerization discipline as
+    ``operators.lm``):
+
+        r0(v)  = S div N
+        D      = sum of r over dangling nodes (no out-edges)
+        r'(v)  = (15*(S div N) + 85*(contrib(v) + D div N)) div 100
+        contrib(v) = sum over u->v of r(u) div outdeg(u)
+
+    Scale shape per round: one equi-shuffle join of edges-with-ranks plus a
+    map-combined sum — the same cost as one CC round. The dangling mass D
+    stays in-plan as a broadcast 1-row aggregate (no per-round driver
+    collect); the only driver scalar is N, computed once. Lineage is cut
+    per round (localCheckpoint), the standard iteration discipline."""
+    e = scoped_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        "pr.edges",
+        eager=True,
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    # edges annotated with the source's out-degree, built once for all rounds
+    eo = e.join(outdeg, "src").localCheckpoint()
+    n_nodes = nodes.count()
+    base = scale // n_nodes
+    ranks = nodes.withColumn("r", F.lit(base).cast("long"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        )
+        contrib = (
+            eo.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * {base}L + 85 * (coalesce(c, 0L) + d div {n_nodes}L))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _pagerank_oracle_sql(n_iter: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Replays every round as chained CTEs over the same integer formula."""
+    ctes = [
+        """edges AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY 1)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes)",
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"""d{t} AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS d
+                 FROM r{t} LEFT JOIN outdeg ON node = src WHERE od IS NULL)"""
+        )
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS c
+                 FROM edges e JOIN r{t} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+                 GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{t + 1} AS (SELECT n2.node,
+                 CAST((15 * ({scale} // (SELECT n FROM nn))
+                       + 85 * (COALESCE(c.c, 0) + (SELECT d FROM d{t}) // (SELECT n FROM nn)))
+                      // 100 AS BIGINT) AS r
+                 FROM nodes n2 LEFT JOIN c{t} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_scaled FROM r{n_iter}"
+    )
+
+
+@q("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier endorsement graph (an edge per
+    distinct (customer, supplier) trade pair; node ids parity-tagged so the
+    two key spaces can't collide). Suppliers are all dangling — the entry
+    exercises the dangling-mass redistribution path every round. Oracle:
+    the same fixed-round integer recurrence as chained CTEs."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return pagerank(edges)
 
 
 @q("dedup_keep_list", _KEEP_SQL)

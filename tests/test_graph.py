@@ -63,3 +63,52 @@ def test_cc_star_beats_diameter(spark):
 def test_cc_star_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def _pagerank_reference(edges, n_iter=3, scale=10**12):
+    """Pure-Python replay of the integer PageRank recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    base = scale // n
+    r = {v: base for v in nodes}
+    for _ in range(n_iter):
+        d = sum(r[v] for v in nodes if v not in out)
+        c = {}
+        for u, v in edges:
+            c[v] = c.get(v, 0) + r[u] // out[u]
+        r = {v: (15 * base + 85 * (c.get(v, 0) + d // n)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    from mta_rtf_dbt_spark.operators.graph import pagerank
+
+    # mixed graph: a hub, a chain, and two dangling sinks
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (6, 1), (6, 2), (2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled for r in pagerank(df).collect()}
+    assert got == _pagerank_reference(edges)
+    # hub 3 (three in-edges) must outrank leaf 7 (one in-edge from a 3-out node)
+    assert got[3] > got[7]
+
+
+def test_pagerank_cycle_is_fixpoint(spark):
+    from mta_rtf_dbt_spark.operators.graph import PR_SCALE, pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r.node: r.rank_scaled for r in pagerank(df).collect()}
+    # uniform cycle: (15*b + 85*b)//100 == b exactly — ranks never move
+    assert set(got.values()) == {PR_SCALE // 3}
+
+
+def test_pagerank_partition_invariant(spark):
+    from mta_rtf_dbt_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(9)).collect()))
+    assert a == b
