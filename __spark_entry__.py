@@ -128,6 +128,7 @@ _PRIORITY = [
     #    merges; every round replayed in the oracle SQL) and integer
     #    PageRank (fixed-round iterative graph rank, CC's sibling) --
     "bpe_train_merges",
+    "bpe_encode_stats",
     "graph_pagerank",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --

@@ -234,18 +234,14 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn ``n_merges`` BPE merges over the corpus; returns the merge table
-    (rank, lhs, rhs, merged, pair_count) — the artifact a tokenizer ships.
-
-    Scale shape: each round is one map-combined pair-count aggregate over
-    the word-frequency table plus one narrow merge rewrite; the corpus
-    itself is touched once (the word count). The single `.first()` per
-    round collects exactly one row — the chosen merge — which is the
-    irreducible sequential decision of the algorithm, not data movement.
-    Lineage is cut per round (localCheckpoint) so round r doesn't replay
-    rounds 0..r-1 — the standard Spark iteration discipline (graph.py)."""
-    spark = docs.sparkSession
+def bpe_train_state(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """(merges, word_table): the learned merge list plus the word-frequency
+    table with each word's FINAL symbol segmentation — the trained
+    tokenizer's application state. Splitting this out lets the encode side
+    reuse the segmentation with a broadcast join instead of re-running the
+    merges per document occurrence."""
     wc = bpe_word_counts(docs).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -261,17 +257,32 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         merges.append((rank, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
         wc = wc.withColumn("syms", _apply_merge(F.col("syms"), top["a"], top["b"]))
         wc = wc.localCheckpoint()
-    return spark.createDataFrame(
+    return merges, wc
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge table
+    (rank, lhs, rhs, merged, pair_count) — the artifact a tokenizer ships.
+
+    Scale shape: each round is one map-combined pair-count aggregate over
+    the word-frequency table plus one narrow merge rewrite; the corpus
+    itself is touched once (the word count). The single `.first()` per
+    round collects exactly one row — the chosen merge — which is the
+    irreducible sequential decision of the algorithm, not data movement.
+    Lineage is cut per round (localCheckpoint) so round r doesn't replay
+    rounds 0..r-1 — the standard Spark iteration discipline (graph.py)."""
+    merges, _ = bpe_train_state(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
     )
 
 
-def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
-    """Replays the full training loop as chained DuckDB CTEs — one
-    (pair-count top-1, merge-applied words) CTE pair per round, the merge
-    applied with the same span-rendered literal replace. LEFT JOIN ON TRUE
-    keeps later rounds alive if a round runs out of pairs (then it selects
-    nothing, matching the engine's early break)."""
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> str:
+    """The training loop as chained DuckDB CTEs — one (pair-count top-1,
+    merge-applied words) CTE pair per round, the merge applied with the same
+    span-rendered literal replace. LEFT JOIN ON TRUE keeps later rounds
+    alive if a round runs out of pairs (then it selects nothing, matching
+    the engine's early break)."""
     so, sc = "chr(31)", "chr(30)"
     ctes = [
         f"""w0 AS (
@@ -303,11 +314,15 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
              END AS syms
       FROM w{r} LEFT JOIN p{r} p ON TRUE
     )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {r + 1} AS rank, a AS lhs, b AS rhs, a||b AS merged, n AS pair_count FROM p{r}"
         for r in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return _bpe_ctes(n_merges) + "\n" + unions
 
 
 @q("bpe_train_merges", _bpe_oracle_sql())
@@ -317,3 +332,46 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, lhs, rhs), greedy merge application) in pure SQL and the
     learned merge table must match bit-for-bit."""
     return bpe_train(load(spark, sf_dir, "documents"))
+
+
+def bpe_encode_corpus(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): encode every document with the
+    trained tokenizer by TRUE merge-order application (not longest-prefix
+    inference): the trained word table already carries each distinct word's
+    final segmentation, so encoding is one word-level equi-join — the
+    corpus is segmented without touching characters again. This is the
+    standard production shape: train on the word-frequency table, encode by
+    lookup; only never-seen words would need the merge replay (none exist
+    here since train and encode corpora coincide)."""
+    _, wc = bpe_train_state(docs, n_merges)
+    seg = wc.select("word", F.size("syms").cast("long").alias("n_pieces"))
+    doc_words = spread(docs).select(
+        "doc_id", F.explode(T.tokens(T.normalize(F.col("text")))).alias("word")
+    )
+    return (
+        doc_words.join(seg, "word")  # inner: seg's filters define tokenhood
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@q(
+    "bpe_encode_stats",
+    _bpe_ctes()
+    + f"""
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) dw
+    JOIN w{BPE_MERGES} USING (word)
+    GROUP BY doc_id
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode under one oracle: per-document word and BPE-piece
+    counts after applying the 8 learned merges in rank order. The oracle
+    replays training and joins the final segmentation to the same exploded
+    doc words."""
+    return bpe_encode_corpus(load(spark, sf_dir, "documents"))

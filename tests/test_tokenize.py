@@ -108,3 +108,23 @@ def test_bpe_train_partition_invariant(spark):
     a = bpe_train(docs, n_merges=3).collect()
     b = bpe_train(docs.repartition(7), n_merges=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_encode_compresses(spark):
+    from mta_rtf_dbt_spark.operators.tokenize import bpe_encode_corpus
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    docs = load(spark, SF, "documents")
+    raw = {r.doc_id: r.n_bpe_tokens for r in bpe_encode_corpus(docs, 0).collect()}
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_corpus(docs, 8).collect()
+    }
+    assert raw.keys() == enc.keys()
+    total_raw = sum(raw.values())
+    total_enc = sum(t for _, t in enc.values())
+    # 8 learned merges must strictly shrink the corpus piece count, and no
+    # doc can ever go below one piece per word or above its char count
+    assert total_enc < total_raw
+    for doc_id, (n_words, n_bpe) in enc.items():
+        assert n_words <= n_bpe <= raw[doc_id]
