@@ -130,6 +130,7 @@ _PRIORITY = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "graph_pagerank",
+    "a_skew_report",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

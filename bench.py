@@ -93,6 +93,8 @@ def main() -> None:
         "q16_supplier_diversity",  # NOT IN anti-join + COUNT(DISTINCT)
         "text_bloom_decontaminate",  # broadcast Bloom screen of heldout shingles
         "a_cms_portable",          # mergeable count-min sketch column
+        "bpe_train_merges",        # 8-round distributed BPE training loop
+        "graph_pagerank",          # 3-round integer PageRank over the trade graph
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so
@@ -208,6 +210,26 @@ def main() -> None:
     try:
         from mta_rtf_dbt_spark.streaming.upsert import stream_dedup_ingest
 
+        # untimed warmup at the smallest SF — same policy as the headline
+        # loop above: the first execution of the sinks' plan shapes (the
+        # 64-column minhash aggregate especially) carries ~6 s of one-time
+        # whole-stage-codegen JIT that is not the scale story (measured:
+        # neardup drain at sf0.1 is 13.3 s cold, 6.8 s warm)
+        from mta_rtf_dbt_spark.streaming.upsert import stream_neardup_ingest
+
+        if os.path.isdir(warm_dir):
+            for wfn, wtag in [(stream_dedup_ingest, "we"), (stream_neardup_ingest, "wn")]:
+                wtmp = f"{tmp}/{wtag}"
+                os.makedirs(f"{wtmp}/incoming")
+                shutil.copy(
+                    os.path.join(warm_dir, "documents.parquet"), f"{wtmp}/incoming/"
+                )
+                wdocs = spark.read.parquet(f"{wtmp}/incoming")
+                wstream = spark.readStream.schema(wdocs.schema).parquet(f"{wtmp}/incoming")
+                wfn(
+                    spark, wstream, f"{wtmp}/corpus", f"{wtmp}/index", f"{wtmp}/ckpt"
+                ).awaitTermination(600)
+
         # the file stream source requires a directory; stage the single
         # testdata file into one (untimed setup)
         os.makedirs(f"{tmp}/incoming")
@@ -227,8 +249,6 @@ def main() -> None:
             timings["stream_dedup_ingest"] = -1.0  # timed out; not a timing
 
         # near-dup sibling: same drain through the MinHash band index
-        from mta_rtf_dbt_spark.streaming.upsert import stream_neardup_ingest
-
         t0 = time.monotonic()
         q = stream_neardup_ingest(
             spark, stream, f"{tmp}/nd_corpus", f"{tmp}/nd_index", f"{tmp}/nd_ckpt"

@@ -209,3 +209,57 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_sum"),
     )
+
+
+def skew_report(
+    df: DataFrame, key: str, top: int = 25, n_partitions: int = 32
+) -> DataFrame:
+    """(key, cnt, share_ppm, salt_factor): the skew DIAGNOSTIC that decides
+    when the two knobs above are worth paying for. For the ``top`` heaviest
+    keys: row count, corpus share in integer ppm, and the suggested salt
+    bucket count ``ceil(cnt / (total div n_partitions))`` — i.e. how many
+    reducers this key needs so its share of work matches an average
+    partition. ``salt_factor == 1`` means the key is not a problem;
+    feeding the max factor into :func:`salted_agg`'s ``salt_buckets``
+    right-sizes the mitigation instead of guessing. One map-combined
+    aggregate + a top-k — cheap enough to run as a pre-flight on every
+    100 TB job. All integer arithmetic, so fully oracle-checkable."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("total"))
+    target = F.expr(f"greatest(total div {n_partitions}, 1L)")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "cnt",
+            F.expr("CAST(cnt * 1000000 div total AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                f"CAST((cnt + greatest(total div {n_partitions}, 1L) - 1) "
+                f"div greatest(total div {n_partitions}, 1L) AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(top)
+    )
+
+
+@q(
+    "a_skew_report",
+    """
+    WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts)
+    SELECT user_id, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST((cnt + greatest(total // 32, 1) - 1)
+                // greatest(total // 32, 1) AS BIGINT) AS salt_factor
+    FROM counts, t
+    ORDER BY cnt DESC, user_id ASC LIMIT 25
+    """,
+)
+def a_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostic over the events stream's ``user_id`` —
+    heaviest 25 keys with corpus share (ppm) and the right-sized salt
+    factor for a 32-partition deployment. Oracle: the same integer
+    arithmetic over a plain GROUP BY."""
+    return skew_report(load(spark, sf_dir, "events"), "user_id")

@@ -98,3 +98,19 @@ def test_replicated_skew_join_matches_plain(spark):
     s = salted.groupBy("l_orderkey").count()
     p = plain.groupBy("l_orderkey").count()
     assert sorted(map(tuple, s.collect())) == sorted(map(tuple, p.collect()))
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    from mta_rtf_dbt_spark.operators.scale import skew_report
+
+    # 1000 rows on key 7, one row each on 50 cold keys
+    rows = [(7,)] * 1000 + [(k,) for k in range(100, 150)]
+    df = spark.createDataFrame(rows, "k long")
+    rep = {r.k: (r.cnt, r.share_ppm, r.salt_factor) for r in skew_report(df, "k").collect()}
+    total = 1050
+    target = max(total // 32, 1)
+    assert rep[7][0] == 1000
+    assert rep[7][1] == 1000 * 1_000_000 // total
+    assert rep[7][2] == (1000 + target - 1) // target  # needs many reducers
+    cold = [v for k, v in rep.items() if k != 7]
+    assert all(sf == 1 for _, _, sf in cold)  # cold keys: no salting needed
