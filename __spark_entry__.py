@@ -131,6 +131,7 @@ _PRIORITY = [
     "bpe_encode_stats",
     "graph_pagerank",
     "a_skew_report",
+    "mta_dq_checks",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

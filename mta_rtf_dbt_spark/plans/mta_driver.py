@@ -388,3 +388,95 @@ def mta_m12(spark, sf_dir):
     from mta_rtf_dbt_spark.metrics.guide import m12_wait_assessment
 
     return m12_wait_assessment(_models(spark), _src(spark), STOP_A, DAY)
+
+
+@q(
+    "mta_dq_checks",
+    f"""
+    WITH {_fixture_ctes(_FTS_SOURCES)},
+    o_fact_trips_stops AS ({FACT_TRIPS_STOPS_BODY}),
+    o_fact_trips AS ({FACT_TRIPS_BODY}),
+    o_fact_delays AS ({FACT_DELAYS_BODY})
+    SELECT 'grain_fts_unique' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM (SELECT tu_id, stu_id FROM o_fact_trips_stops GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    UNION ALL SELECT 'grain_trips_unique', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT trip_uid FROM o_fact_trips GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL SELECT 'fts_trip_uid_not_null', CAST(COUNT(*) AS BIGINT)
+    FROM o_fact_trips_stops WHERE trip_uid IS NULL
+    UNION ALL SELECT 'stu_parent_fk', CAST(COUNT(*) AS BIGINT)
+    FROM trip_updates__trip_update__stop_time_update c
+    LEFT JOIN trip_updates p ON c._dlt_parent_id = p._dlt_id WHERE p._dlt_id IS NULL
+    UNION ALL SELECT 'trips_seq_ordered', CAST(COUNT(*) AS BIGINT)
+    FROM o_fact_trips WHERE first_stop_sequence > last_stop_sequence
+    UNION ALL SELECT 'delays_feed_contract', CAST(COUNT(*) AS BIGINT)
+    FROM o_fact_delays WHERE feed <> 'main'
+    """,
+)
+def mta_dq_checks(spark, sf_dir):
+    """The dbt schema tests the reference SHOULD have shipped (its tests/
+    dir holds only .gitkeep — SURVEY.md §5): grain uniqueness of
+    (tu_id, stu_id) and trip_uid (metrics_guide.md:7-12 grain notes),
+    not-null trip_uid, the dlt child->parent FK
+    (_dlt_parent_id -> _dlt_id, mta_sources.yml:157-160), the
+    first<=last stop-sequence invariant (fact_trips.sql:58-59), and
+    fact_delays' feed='main' contract (fact_delays.sql:54). Emitted as
+    (rule, n_violations) rows — the oracle recomputes every rule over the
+    independent DuckDB model chain, so a zero here is a verified zero, not
+    an unexecuted assertion. test_quality plants violations in an in-memory
+    copy to prove each rule actually fires."""
+    m = _models(spark)
+    src = _src(spark)
+    return mta_dq_frame(
+        m["fact_trips_stops"],
+        m["fact_trips"],
+        m["fact_delays"],
+        src["trip_updates"],
+        src["trip_updates__trip_update__stop_time_update"],
+    )
+
+
+def mta_dq_frame(
+    fts: DataFrame,
+    trips: DataFrame,
+    delays: DataFrame,
+    tu: DataFrame,
+    stu: DataFrame,
+) -> DataFrame:
+    """(rule, n_violations) over arbitrary model/source frames — split out
+    so tests can feed deliberately-corrupted inputs."""
+
+    def cnt(df: DataFrame, rule: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    checks = [
+        cnt(
+            fts.groupBy("tu_id", "stu_id").count().filter(F.col("count") > 1),
+            "grain_fts_unique",
+        ),
+        cnt(
+            trips.groupBy("trip_uid").count().filter(F.col("count") > 1),
+            "grain_trips_unique",
+        ),
+        cnt(fts.filter(F.col("trip_uid").isNull()), "fts_trip_uid_not_null"),
+        cnt(
+            stu.join(
+                tu.select(F.col("_dlt_id").alias("_dlt_parent_id")),
+                "_dlt_parent_id",
+                "left_anti",
+            ),
+            "stu_parent_fk",
+        ),
+        cnt(
+            trips.filter(
+                F.col("first_stop_sequence") > F.col("last_stop_sequence")
+            ),
+            "trips_seq_ordered",
+        ),
+        cnt(delays.filter(F.col("feed") != "main"), "delays_feed_contract"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

@@ -31,3 +31,43 @@ def test_validators_catch_planted_violations(spark):
         "fk": 1,  # pid=3 has no parent
         "domain": 2,  # None and 'zz'
     }
+
+
+def test_mta_dq_rules_fire_on_planted_violations(spark):
+    """Each schema-test rule must actually detect its violation class —
+    feed deliberately corrupted frames and assert nonzero counts."""
+    import pyspark.sql.functions as F
+
+    from mta_rtf_dbt_spark.plans.mta_driver import FIX_DIR, _models, _src, mta_dq_frame
+
+    m = _models(spark)
+    src = _src(spark)
+    fts, trips, delays = m["fact_trips_stops"], m["fact_trips"], m["fact_delays"]
+    tu = src["trip_updates"]
+    stu = src["trip_updates__trip_update__stop_time_update"]
+
+    # healthy inputs: every rule is zero
+    clean = {r.rule: r.n_violations for r in mta_dq_frame(fts, trips, delays, tu, stu).collect()}
+    assert set(clean.values()) == {0} and len(clean) == 6
+
+    bad_fts = fts.unionAll(fts.limit(1)).withColumn(  # duplicate one grain row
+        "trip_uid",
+        F.when(F.monotonically_increasing_id() == 0, F.lit(None)).otherwise(
+            F.col("trip_uid")
+        ),
+    )
+    bad_trips = trips.withColumn(
+        "first_stop_sequence", F.col("last_stop_sequence") + 1
+    ).unionAll(trips.limit(1)).unionAll(trips.limit(1))  # dup trip_uid + bad order
+    bad_delays = delays.withColumn("feed", F.lit("alerts"))
+    bad_stu = stu.withColumn("_dlt_parent_id", F.concat(F.col("_dlt_parent_id"), F.lit("_x")))
+    got = {
+        r.rule: r.n_violations
+        for r in mta_dq_frame(bad_fts, bad_trips, bad_delays, tu, bad_stu).collect()
+    }
+    assert got["grain_fts_unique"] >= 1
+    assert got["fts_trip_uid_not_null"] >= 1
+    assert got["grain_trips_unique"] >= 1
+    assert got["trips_seq_ordered"] >= 1
+    assert got["delays_feed_contract"] >= 1
+    assert got["stu_parent_fk"] >= 1
