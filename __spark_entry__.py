@@ -132,6 +132,7 @@ _PRIORITY = [
     "graph_pagerank",
     "a_skew_report",
     "mta_dq_checks",
+    "curriculum_shard_plan",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -77,7 +77,10 @@ _KEY_SQL = f"((doc_id * {_A} + {_C}) % {_M})"
 
 
 def shard_plan(
-    docs: DataFrame, tokens_per_shard: int = TOKENS_PER_SHARD
+    docs: DataFrame,
+    tokens_per_shard: int = TOKENS_PER_SHARD,
+    key_col: Column | None = None,
+    key_max: int = _M,
 ) -> DataFrame:
     """(doc_id, shuffle_key, n_tokens, global_start, shard_id): each doc's
     position in the token stream of the pseudo-shuffled corpus and its
@@ -92,14 +95,22 @@ def shard_plan(
     it is persisted — without that the entire upstream plan (for the
     curation entry: the whole funnel) executes twice per action (measured
     r4: the one-shot curation entry dropped from ~13 s to ~5 s at sf0.1).
-    At cluster scale this persist is a checkpoint/staging write."""
+    At cluster scale this persist is a checkpoint/staging write.
+
+    ``key_col`` overrides the global order (default: the LCG pseudo-shuffle
+    of doc_id) — any integer expression in [0, ``key_max``) works, because
+    the prefix-sum buckets are derived as ``key * B // key_max`` and so
+    stay range-aligned with whatever total order the key encodes (the
+    curriculum entry passes a (quality_bin, shuffle) composite)."""
     toks = spread(docs).select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
-        pseudo_shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+        (pseudo_shuffle_key(F.col("doc_id")) if key_col is None else key_col).alias(
+            "shuffle_key"
+        ),
     )
     toks = toks.withColumn(
-        "bucket", (F.col("shuffle_key") * _N_BUCKETS / _M).cast("long")
+        "bucket", (F.col("shuffle_key") * _N_BUCKETS / key_max).cast("long")
     )
     wloc = (
         Window.partitionBy("bucket")
@@ -192,6 +203,70 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the naive global prefix sum over the same LCG order
     and must match the two-phase engine positions exactly."""
     return shard_plan(load(spark, sf_dir, "documents"))
+
+
+def curriculum_key(text_col: Column, id_col: Column) -> Column:
+    """Composite order key for quality-ascending curriculum training: the
+    corpus is laid out lowest-quality-decile first, pseudo-shuffled WITHIN
+    each decile (shuffled batches, rising difficulty — the standard
+    curriculum layout). Quality = lexical diversity in integer ppm (the
+    same signal the curation funnel gates on), binned to 11 deciles;
+    key = bin * M + lcg(doc_id), range-aligned for the prefix-sum buckets."""
+    arr = T.tokens(T.normalize(text_col))
+    # double division then truncating cast == integer floor here: quotients
+    # are >= 1e-4 away from any integer they don't hit exactly (q <= token
+    # count), far beyond double rounding error — same discipline both engines
+    lexdiv_ppm = F.coalesce(
+        (
+            F.size(F.array_distinct(arr)).cast("long")
+            * 1000000
+            / F.nullif(F.size(arr).cast("long"), F.lit(0))
+        ).cast("long"),
+        F.lit(0),
+    )
+    bin_ = (lexdiv_ppm / 100000).cast("long")
+    return bin_ * _M + pseudo_shuffle_key(id_col)
+
+
+_CURR_KEY_SQL = f"""(
+  (COALESCE(CAST(len(list_distinct({{arr}})) * 1000000 // NULLIF(len({{arr}}), 0) AS BIGINT), 0) // 100000)
+  * {_M} + {_KEY_SQL}
+)"""
+
+
+_CURR_ARR = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+
+
+@q(
+    "curriculum_shard_plan",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len({_CURR_ARR}) AS n_tokens,
+             {_CURR_KEY_SQL.format(arr=_CURR_ARR)} AS shuffle_key
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, shuffle_key, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS global_start
+      FROM toks
+    )
+    SELECT doc_id, shuffle_key, CAST(n_tokens AS BIGINT) AS n_tokens, global_start,
+           global_start // {TOKENS_PER_SHARD} AS shard_id
+    FROM pos
+    """,
+)
+def curriculum_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ascending curriculum layout of the documents corpus:
+    lowest-lexical-diversity decile first, pseudo-shuffled within decile,
+    token-budget shards over that order — the same two-phase prefix sum as
+    the plain shuffle plan, proving the machinery is order-key-generic.
+    The oracle replays the naive global cumsum over the identical composite
+    key."""
+    docs = load(spark, sf_dir, "documents")
+    key = curriculum_key(F.col("text"), F.col("doc_id"))
+    return shard_plan(docs, key_col=key, key_max=11 * _M)
 
 
 @q(

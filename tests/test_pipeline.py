@@ -78,3 +78,25 @@ def test_funnel_monotone_on_corpus(spark):
     plan = shard_plan(stages["mixed"])
     assert plan.count() == counts["mixed"]
     assert plan.select("doc_id").distinct().count() == counts["mixed"]
+
+
+def test_curriculum_plan_orders_quality_ascending(spark):
+    """The curriculum layout must emit docs in quality-bin-major order:
+    walking shards by global_start, lexical-diversity bins never decrease."""
+    import pyspark.sql.functions as F
+
+    from mta_rtf_dbt_spark.functions import text as T
+    from mta_rtf_dbt_spark.operators.sampling import _M
+    from mta_rtf_dbt_spark.operators.shard import curriculum_key, shard_plan
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    key = curriculum_key(F.col("text"), F.col("doc_id"))
+    plan = shard_plan(docs, key_col=key, key_max=11 * _M)
+    rows = plan.select("doc_id", "shuffle_key", "global_start").orderBy("global_start").collect()
+    bins = [r.shuffle_key // _M for r in rows]
+    assert bins == sorted(bins)          # bin-major order
+    assert len(set(bins)) > 1            # the corpus actually spans bins
+    # token stream is gapless: each start = previous start + previous tokens
+    starts = [r.global_start for r in rows]
+    assert starts[0] == 0 and all(b > a for a, b in zip(starts, starts[1:]))
