@@ -133,6 +133,7 @@ _PRIORITY = [
     "a_skew_report",
     "mta_dq_checks",
     "curriculum_shard_plan",
+    "pack_boundaries",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

@@ -588,6 +588,58 @@ def pack_sequences_documents(spark, sf_dir):
     return pack_sequences(load(spark, sf_dir, "documents"), 512)
 
 
+def pack_boundaries(docs: DataFrame, max_len: int = 512) -> DataFrame:
+    """(seq_id, n_doc_starts, boundaries): per packed training sequence, the
+    sorted in-sequence offsets where a NEW document begins — the metadata a
+    trainer turns into loss masks / attention-reset boundaries for
+    concat-then-chunk packing. Sequences fully inside one long document
+    start no docs and emit no row (their mask is all-continuation).
+    Offsets are emitted sorted and '|'-joined — a driver-hashable scalar
+    (the array-column canonicalizer lesson from a_array_agg_sorted)."""
+    packed = pack_sequences(docs, max_len)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_starts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("offset_in_seq")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("boundaries"),
+        )
+    )
+
+
+@q(
+    "pack_boundaries",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS global_start
+      FROM toks
+    )
+    SELECT CAST(global_start // 512 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_doc_starts,
+           array_to_string(list_sort(list(global_start % 512)), '|') AS boundaries
+    FROM pos
+    GROUP BY 1
+    """,
+)
+def pack_boundaries_documents(spark, sf_dir):
+    """Loss-mask boundary metadata for the 512-token packing of the
+    documents corpus, under the same naive-prefix-sum oracle as
+    pack_sequences."""
+    return pack_boundaries(load(spark, sf_dir, "documents"), 512)
+
+
 # ---------------------------------------------------------------------------
 # Cross-doc duplicated spans — exact substring dedup at token-gram grain.
 # ---------------------------------------------------------------------------
