@@ -134,6 +134,7 @@ _PRIORITY = [
     "mta_dq_checks",
     "curriculum_shard_plan",
     "pack_boundaries",
+    "j_full_outer_reconcile",
     # -- changed this round: salted count -> COUNT(*), histogram divisor
     #    guard, simhash 4x16 banding, single-pass funnel counts --
     "a_salted_skew_agg",

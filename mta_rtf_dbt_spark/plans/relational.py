@@ -425,6 +425,55 @@ def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full outer join (§2.3 "available in Spark" row) — set reconciliation.
+# ---------------------------------------------------------------------------
+@q(
+    "j_full_outer_reconcile",
+    """
+    WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1)
+    SELECT COALESCE(o.k, e.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'events_only'
+                WHEN e.k IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi join as two-ledger reconciliation: per-key order
+    counts vs per-key event counts, every key from either side kept and
+    classified (both / orders_only / events_only) — the audit shape batch
+    reconciliation jobs run between independently-ingested systems. Scale:
+    both inputs pre-aggregate to distinct keys before the join, so the
+    outer join shuffles |keys|, not |rows|."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    oo, ee = o.alias("o"), e.alias("e")
+    j = oo.join(ee, F.col("o.k") == F.col("e.k"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.k"), F.col("e.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), F.lit("events_only"))
+        .when(F.col("e.k").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.4 A3 — deterministic ANY_VALUE policy (D4).
 # ---------------------------------------------------------------------------
 @q(
