@@ -75,6 +75,17 @@ _PRIORITY = [
     # -- fixed this round: the one entry never green in any round (r4 red:
     #    driver canonicalizer vs array columns — now emitted as scalars) --
     "a_array_agg_sorted",
+    # -- new this round (second wave): erasure + retraction, equi-depth
+    #    NTILE via distributed prefix sum, integer-exact gap interpolation,
+    #    insert_overwrite materialization, left-outer stream-stream join
+    #    (watermark-closed-horizon oracle), compaction planner --
+    "gdpr_erasure_audit",
+    "incremental_agg_retract",
+    "a_histogram_equidepth",
+    "m1_gapfill_interpolate",
+    "mta_fts_insert_overwrite",
+    "stream_stream_left_join",
+    "layout_compaction_plan",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",

@@ -173,6 +173,115 @@ def m1_gapfill_spine(spark, sf_dir):
 
 
 @q(
+    "m1_gapfill_interpolate",
+    """
+    WITH b AS (
+      SELECT date_trunc('minute', ts) AS m, count(DISTINCT user_id) AS actors
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-05 06:00:00'
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 06:00:00',
+                                    INTERVAL 1 MINUTE)) AS ts_minute
+    ),
+    j AS (
+      SELECT CAST(s.ts_minute AS TIMESTAMP) AS ts_minute, b.actors,
+             epoch_us(CAST(s.ts_minute AS TIMESTAMP)) // 60000000 AS i
+      FROM spine s LEFT JOIN b ON b.m = s.ts_minute
+    ),
+    w AS (
+      SELECT ts_minute, actors, i,
+             last_value(actors IGNORE NULLS) OVER
+               (ORDER BY ts_minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+             last_value(CASE WHEN actors IS NOT NULL THEN i END IGNORE NULLS) OVER
+               (ORDER BY ts_minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             first_value(actors IGNORE NULLS) OVER
+               (ORDER BY ts_minute ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+             first_value(CASE WHEN actors IS NOT NULL THEN i END IGNORE NULLS) OVER
+               (ORDER BY ts_minute ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM j
+    )
+    SELECT ts_minute, (actors IS NOT NULL) AS observed,
+           CAST(CASE WHEN actors IS NOT NULL THEN actors
+                     WHEN pa IS NULL OR na IS NULL THEN NULL
+                     ELSE pa * (ni - i) + na * (i - pi) END AS BIGINT) AS interp_num,
+           CAST(CASE WHEN actors IS NOT NULL THEN 1
+                     WHEN pa IS NULL OR na IS NULL THEN NULL
+                     ELSE ni - pi END AS BIGINT) AS interp_den
+    FROM w
+    """,
+)
+def m1_gapfill_interpolate(spark, sf_dir):
+    """Gap-filled minutely series with LINEAR INTERPOLATION across the gaps
+    — the time-series repair step downstream charts and anomaly detectors
+    want (m1_gapfill_spine's zeros say "nothing observed"; interpolation
+    says "what the level plausibly was"). Missing minutes get the linear
+    blend of the nearest observed neighbors; edge gaps (no neighbor on one
+    side) stay NULL rather than extrapolating.
+
+    Emitted as an exact integer fraction (interp_num / interp_den with
+    interp_den = gap span in minutes) — no float division anywhere, so the
+    value hash is engine-exact and the consumer chooses its own rounding.
+    The neighbor scan is first/last IGNORE NULLS over the spine — a
+    single-partition window over SPINE rows (the 361-minute reporting
+    window — metadata-sized, not corpus-sized; the corpus-sized work is the
+    per-minute aggregate, which shuffles on the minute key)."""
+    e = load(spark, sf_dir, "events")
+    lo, hi = "2024-01-05 00:00:00", "2024-01-05 06:00:00"
+    counts = (
+        e.filter(F.col("ts").between(lo, hi))
+        .groupBy(bq.timestamp_trunc(F.col("ts"), "minute").alias("m"))
+        .agg(F.countDistinct("user_id").alias("actors"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("timestamp"),
+                F.lit(hi).cast("timestamp"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("ts_minute")
+    )
+    j = spine.join(counts, spine.ts_minute == counts.m, "left").select(
+        "ts_minute",
+        "actors",
+        F.expr("unix_timestamp(ts_minute) div 60").alias("i"),
+    )
+    w_prev = Window.orderBy("ts_minute").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("ts_minute").rowsBetween(0, Window.unboundedFollowing)
+    obs_i = F.when(F.col("actors").isNotNull(), F.col("i"))
+    g = j.select(
+        "ts_minute",
+        "actors",
+        "i",
+        F.last("actors", ignorenulls=True).over(w_prev).alias("pa"),
+        F.last(obs_i, ignorenulls=True).over(w_prev).alias("pi"),
+        F.first("actors", ignorenulls=True).over(w_next).alias("na"),
+        F.first(obs_i, ignorenulls=True).over(w_next).alias("ni"),
+    )
+    edge = F.col("pa").isNull() | F.col("na").isNull()
+    return g.select(
+        "ts_minute",
+        F.col("actors").isNotNull().alias("observed"),
+        F.when(F.col("actors").isNotNull(), F.col("actors"))
+        .when(edge, F.lit(None))
+        .otherwise(
+            F.col("pa") * (F.col("ni") - F.col("i"))
+            + F.col("na") * (F.col("i") - F.col("pi"))
+        )
+        .cast("long")
+        .alias("interp_num"),
+        F.when(F.col("actors").isNotNull(), F.lit(1))
+        .when(edge, F.lit(None))
+        .otherwise(F.col("ni") - F.col("pi"))
+        .cast("long")
+        .alias("interp_den"),
+    )
+
+
+@q(
     "m5_analog_headways",
     """
     WITH seen AS (

@@ -93,6 +93,84 @@ def finalize_agg(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def retract_agg_state(
+    state: DataFrame,
+    survivors: DataFrame,
+    deletes: DataFrame,
+    keys: list[str],
+    value: str,
+) -> DataFrame:
+    """state ⊖ aggregate(deleted rows) — incremental maintenance under
+    DELETION (the GDPR-erasure / retention-expiry path).
+
+    COUNT and SUM form a *group* (inverses exist), so they retract
+    algebraically: subtract the delete batch's partial aggregate. MIN/MAX
+    are only a *monoid* — deleting the extremum row leaves no way to derive
+    the new extremum from state — so they are recomputed, but ONLY for the
+    affected keys (keys with at least one deleted row), from the surviving
+    rows of those keys. At 100 TB with the table partitioned/bucketed on
+    the keys that recompute touches just the affected partitions, never the
+    corpus; the delete batch and its key set are takedown-list-sized and
+    broadcast. Keys whose rows are all deleted drop out (n = 0)."""
+    dstate = deletes.groupBy(*keys).agg(
+        F.count(value).alias("dn"), F.sum(value).alias("dsum")
+    )
+    ext = (
+        survivors.join(F.broadcast(dstate.select(*keys)), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.min(value).alias("rmin"), F.max(value).alias("rmax"))
+    )
+    adj = state.join(F.broadcast(dstate), keys, "left").join(
+        F.broadcast(ext), keys, "left"
+    )
+    affected = F.col("dn").isNotNull()
+    return adj.select(
+        *keys,
+        (F.col("n") - F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.col("sum_v") - F.coalesce(F.col("dsum"), F.lit(0))).alias("sum_v"),
+        F.when(affected, F.col("rmin")).otherwise(F.col("min_v")).alias("min_v"),
+        F.when(affected, F.col("rmax")).otherwise(F.col("max_v")).alias("max_v"),
+    ).filter(F.col("n") > 0)
+
+
+@q(
+    "incremental_agg_retract",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           count(value_milli)                      AS n,
+           CAST(sum(value_milli) AS BIGINT)        AS sum_v,
+           min(value_milli)                        AS min_v,
+           max(value_milli)                        AS max_v,
+           round(sum(value_milli) * 1.0 / count(value_milli), 6) AS avg_v
+    FROM (SELECT event_type, ts, user_id,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+          FROM events)
+    WHERE user_id % 50 <> 7
+    GROUP BY 1, 2
+    """,
+)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the per-(event_type, day) state over ALL events, then erase a
+    takedown user list (user_id % 50 == 7) by retraction — count/sum
+    subtracted, min/max recomputed for affected keys only — and finalize.
+    The oracle is DuckDB's one-pass aggregate over the surviving rows, so
+    the hash check proves retraction is exactly recompute-equivalent,
+    including extremum handover and fully-erased groups dropping out."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    keys = ["event_type", "d"]
+    erased = F.col("user_id") % 50 == 7
+    state = agg_state(e, keys, "value_milli")
+    new_state = retract_agg_state(
+        state, e.filter(~erased), e.filter(erased), keys, "value_milli"
+    )
+    return finalize_agg(new_state, keys)
+
+
 @q(
     "incremental_agg_merge",
     """

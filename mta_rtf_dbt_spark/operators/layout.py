@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.session import pin_session
@@ -147,4 +147,67 @@ def zorder_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key(orders, "o_custkey", "epoch_day").select(
         "o_orderkey", "bx", "by", "zval"
+    )
+
+
+TARGET_COMPACT_BYTES = 64 * 1024  # bin target for the sf-scale demo; prod: 512MB-1GB
+
+
+@q(
+    "layout_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT doc_id // 64 AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS size_bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1
+    ),
+    ordered AS (
+      SELECT file_id, size_bytes, n_rows,
+             SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      FROM files
+    )
+    SELECT file_id, size_bytes, n_rows,
+           CAST(COALESCE(cum_before, 0) // {TARGET_COMPACT_BYTES} AS BIGINT) AS compact_group
+    FROM ordered
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planner — the OPTIMIZE/bin-packing step every
+    long-lived lakehouse table needs (streaming ingest and per-partition
+    writes leave thousands of under-sized files; scan throughput dies on
+    file-open overhead). Input is the file inventory (here simulated
+    deterministically: 64-doc 'files' sized by their text bytes, so the
+    oracle sees the identical inventory); the plan assigns each file a
+    ``compact_group`` by size-descending cumulative-sum binning — greedy
+    first-fit over a deterministic total order, groups land within one
+    file of the target size. The rewrite job then coalesces each group
+    into one output file.
+
+    Scale: the inventory is METADATA (one row per file — millions of rows
+    for a 100 TB table, not billions), listed from the catalog/manifest,
+    never by opening data files; the single-partition cumsum window is
+    over that metadata and is the planner's whole cost. The rewrite it
+    drives is embarrassingly parallel (one task per group) and touches
+    only groups with >1 file."""
+    files = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.expr("doc_id div 64").alias("file_id"))
+        .agg(
+            F.sum("n_chars").cast("long").alias("size_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    w = Window.orderBy(F.col("size_bytes").desc(), "file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        files.withColumn(
+            "cum_before", F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+        )
+        .withColumn(
+            "compact_group", F.expr(f"cum_before div {TARGET_COMPACT_BYTES}")
+        )
+        .select("file_id", "size_bytes", "n_rows", "compact_group")
     )

@@ -855,3 +855,65 @@ def text_line_dedup(spark, sf_dir):
     """Keep-first line dedup over documents at 10-token line grain; the
     oracle replays the identical keyed min / reconstruction."""
     return line_dedup(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "gdpr_erasure_audit",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id
+      FROM toks, unnest(generate_series(0, CAST((n_tokens - 1) // 64 AS BIGINT))) AS t(c)
+      WHERE n_tokens > 0
+    )
+    SELECT 'documents' AS relation,
+           (SELECT count(*) FROM documents) AS rows_before,
+           (SELECT count(*) FROM documents WHERE doc_id % 101 = 13) AS rows_deleted,
+           (SELECT count(*) FROM documents WHERE doc_id % 101 <> 13) AS rows_after
+    UNION ALL
+    SELECT 'chunks',
+           (SELECT count(*) FROM chunks),
+           (SELECT count(*) FROM chunks WHERE doc_id % 101 = 13),
+           (SELECT count(*) FROM chunks WHERE doc_id % 101 <> 13)
+    """,
+)
+def gdpr_erasure_audit(spark, sf_dir):
+    """Right-to-erasure CASCADE over the corpus and a derived table: a
+    takedown list (doc_id % 101 == 13 stands in for the legal hold file)
+    is anti-joined out of ``documents`` AND out of the derived retrieval
+    chunks, and the entry emits the per-relation audit record
+    (rows_before / rows_deleted / rows_after) that an erasure job must
+    produce for compliance evidence. The oracle recomputes every count
+    from scratch with NOT-the-list predicates, so the hash check proves
+    the cascade deleted exactly the listed lineage in both relations —
+    no stragglers, no over-deletion.
+
+    Scale: the takedown list is broadcast (legal-hold lists are
+    KB-to-MB); each relation is one broadcast anti-join — no shuffle of
+    the corpus. On a partitioned lakehouse table the rewrite touches only
+    files whose min/max doc_id span a listed id; the audit aggregates are
+    one pass each. The retraction twin for derived AGGREGATES is
+    operators/incremental.retract_agg_state (count/sum subtract; min/max
+    recompute only affected keys)."""
+    docs = load(spark, sf_dir, "documents")
+    takedown = docs.filter(F.col("doc_id") % 101 == 13).select("doc_id")
+
+    def audit(name: str, df: DataFrame) -> DataFrame:
+        after = df.join(F.broadcast(takedown), "doc_id", "left_anti")
+        b = df.agg(F.count(F.lit(1)).alias("rows_before"))
+        a = after.agg(F.count(F.lit(1)).alias("rows_after"))
+        return b.crossJoin(a).select(
+            F.lit(name).alias("relation"),
+            "rows_before",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_deleted"),
+            "rows_after",
+        )
+
+    return audit("documents", docs).unionAll(
+        audit("chunks", chunk_documents(docs))
+    )

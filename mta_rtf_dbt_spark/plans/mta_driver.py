@@ -268,6 +268,71 @@ def mta_stream_fts(spark, sf_dir):
     return spark.read.parquet(f"{tmp}/fts")
 
 
+@q(
+    "mta_fts_insert_overwrite",
+    f"""
+    WITH {_fixture_ctes(_FTS_SOURCES)},
+    o_fact_trips_stops AS ({FACT_TRIPS_STOPS_BODY})
+    SELECT * FROM o_fact_trips_stops
+    """,
+)
+def mta_fts_insert_overwrite(spark, sf_dir):
+    """dbt INSERT_OVERWRITE materialization of the core model (the third
+    incremental strategy, alongside mta_fts_incremental's MERGE and
+    mta_stream_fts's streaming MERGE): the model is first materialized
+    from the early loads PARTITIONED on service_date; when the late loads
+    arrive, the affected partitions (the service_dates present in the
+    delta) are rebuilt from the FULL source slice for those partitions and
+    swapped in via Spark's dynamic partition overwrite — untouched
+    partitions keep their files byte-for-byte. The read-back must
+    hash-equal the one-shot full rebuild (the oracle is the full model
+    SQL), proving partition-replace semantics neither drop rows of
+    untouched dates nor leave stale rows in rebuilt ones.
+
+    This is THE 100 TB materialization strategy for date-partitioned
+    facts: the daily run rewrites one date's files, never the table, and
+    needs no merge-key shuffle at all (overwrite is a file-level swap).
+    The partition key is written as a derived 'd'-prefixed string
+    (nulls -> 'dUNK') so hive partition-value type inference can't
+    re-type it on read; the helper column is dropped before returning."""
+    import tempfile
+
+    from mta_rtf_dbt_spark.plans.mta_models import fact_trips_stops
+
+    src = _src(spark)
+
+    def subset(loads: list[str]) -> dict[str, DataFrame]:
+        s = dict(src)
+        s["trip_updates"] = src["trip_updates"].filter(
+            F.col("_dlt_load_id").isin(*loads)
+        )
+        return s
+
+    pcol = F.concat(F.lit("d"), F.coalesce(F.col("service_date"), F.lit("UNK")))
+    tmp = tempfile.mkdtemp(prefix="mta_fts_iow_")
+    path = f"{tmp}/fts"
+    early = fact_trips_stops(subset(["load000", "load001", "load002"])).withColumn(
+        "_p_date", pcol
+    )
+    early.write.partitionBy("_p_date").parquet(path)
+
+    delta_dates = (
+        fact_trips_stops(subset(["load002", "load003"]))
+        .select(pcol.alias("_p_date"))
+        .distinct()
+    )
+    full = fact_trips_stops(src).withColumn("_p_date", pcol)
+    rebuild = full.join(F.broadcast(delta_dates), "_p_date", "left_semi")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuild.write.mode("overwrite").partitionBy("_p_date").parquet(path)
+        out = spark.read.parquet(path).drop("_p_date")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # The full metric workload (M1-M12, docs/metrics_guide.md:22-377) driver-gated
 # over the fixture-built models — the r4 verdict's top item. Each oracle nests

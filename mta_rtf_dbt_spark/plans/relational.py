@@ -637,6 +637,88 @@ def a_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_DEPTH = 8
+
+
+@q(
+    "a_histogram_equidepth",
+    f"""
+    WITH x AS (SELECT value, event_id,
+                      row_number() OVER (ORDER BY value, event_id) AS rn,
+                      count(*) OVER () AS n
+               FROM events),
+    y AS (SELECT value, rn, n // {_N_DEPTH} AS q, n % {_N_DEPTH} AS r FROM x),
+    z AS (SELECT value,
+                 CASE WHEN rn <= (q + 1) * r THEN (rn - 1) // (q + 1)
+                      ELSE r + (rn - (q + 1) * r - 1) // greatest(q, 1)
+                 END AS depth_bucket
+          FROM y)
+    SELECT depth_bucket, COUNT(*) AS n_rows,
+           MIN(value) AS lo_value, MAX(value) AS hi_value
+    FROM z GROUP BY depth_bucket
+    """,
+)
+def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (NTILE semantics: 8 buckets whose sizes
+    differ by at most one, earlier buckets larger) — the quantile-binning
+    profile equi-width can't give on skewed columns.
+
+    Scale: NTILE needs a global rank, and ``Window.orderBy`` without keys is
+    a single-partition sort — a scale-killer. Instead the global rank is the
+    same two-phase prefix sum the shard planner uses: phase 1 row_numbers
+    WITHIN range-aligned value buckets (equi-width over broadcast min/max,
+    so bucket ranges partition the global (value, event_id) order); phase 2
+    broadcasts per-bucket counts' running offsets (bucket-count rows, not
+    corpus rows). The NTILE bucket is then pure integer arithmetic over the
+    rank — written as ``div`` in both engines so the oracle's
+    row_number-based formulation matches bit-for-bit."""
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    nb = 64  # prefix-sum parallelism
+    g = e.crossJoin(F.broadcast(bounds))
+    span = F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+    pre = g.select(
+        "event_id",
+        "value",
+        F.least(
+            F.coalesce(F.floor((F.col("value") - F.col("lo")) * nb / span), F.lit(0)),
+            F.lit(nb - 1).cast("long"),
+        ).alias("pbucket"),
+    )
+    wloc = Window.partitionBy("pbucket").orderBy("value", "event_id")
+    local = pre.withColumn("lrn", F.row_number().over(wloc))
+    offs = (
+        local.groupBy("pbucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "boffset",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("pbucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n", F.sum("bn").over(Window.partitionBy()))
+        .select("pbucket", "boffset", "n")
+    )
+    ranked = (
+        local.join(F.broadcast(offs), "pbucket")
+        .withColumn("rn", F.col("boffset") + F.col("lrn"))
+        .withColumn("q", F.expr(f"n div {_N_DEPTH}"))
+        .withColumn("r", F.col("n") % _N_DEPTH)
+    )
+    bucket = F.when(
+        F.col("rn") <= (F.col("q") + 1) * F.col("r"),
+        F.expr("(rn - 1) div (q + 1)"),
+    ).otherwise(F.col("r") + F.expr("(rn - (q + 1) * r - 1) div greatest(q, 1L)"))
+    return ranked.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("lo_value"),
+        F.max("value").alias("hi_value"),
+    )
+
+
 @q(
     "a_mode_top_actor",
     """

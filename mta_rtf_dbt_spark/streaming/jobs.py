@@ -293,6 +293,74 @@ def stream_stream_join(spark, sf_dir):
 
 
 @q(
+    "stream_stream_left_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+     AND a.event_id < b.event_id
+    UNION ALL
+    SELECT a.user_id, a.event_id, NULL, NULL
+    FROM events a
+    WHERE a.ts + INTERVAL 2 MINUTE < (SELECT max(ts) FROM events)
+      AND NOT EXISTS (SELECT 1 FROM events b
+                      WHERE b.user_id = a.user_id
+                        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+                        AND a.event_id < b.event_id)
+    """,
+)
+def stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the inner entry's sibling
+    with the semantics that make outer streaming joins subtle: matched
+    pairs emit immediately, but an UNMATCHED left row can only emit its
+    null-padded result once the watermark proves no future match can
+    arrive (state eviction), i.e. once the global watermark passes
+    ``ts_a + interval``. Rows whose match window is still open when the
+    one-shot drain ends stay pending in state — so the oracle is exactly
+    that split: the batch inner join UNION the no-match rows whose window
+    the final watermark (max event time, 0s delay) has closed. The hash
+    check pins both halves, including the eviction horizon.
+
+    The watermark sits directly on each source (BEFORE any filtering):
+    the global watermark is the MIN across both sides, so capping one
+    side's max event time (e.g. by pre-filtering the left stream) would
+    silently hold back every close-to-horizon eviction — measured here:
+    a pre-filtered left side left its own latest row permanently
+    un-emitted. State is bounded to interval + watermark horizon per key,
+    the contract that keeps the join viable on unbounded streams."""
+    import mta_rtf_dbt_spark.functions.bq as bq
+
+    a = (
+        stream_source(spark, sf_dir, "events")
+        .select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "0 seconds")
+    )
+    b = (
+        stream_source(spark, sf_dir, "events")
+        .select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", "0 seconds")
+    )
+    joined = a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("event_a") < F.col("event_b")),
+        "left_outer",
+    ).select(
+        a["user_id"],
+        "event_a",
+        "event_b",
+        bq.timestamp_diff(F.col("ts_b"), F.col("ts_a"), "SECOND").alias("gap_s"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@q(
     "stream_tws_user_profile",
     """
     WITH bt AS (

@@ -1,0 +1,95 @@
+"""Targeted semantics tests for the round-5 second-wave operators (the
+oracle-parity hash checks cover end-to-end equality; these pin the specific
+behaviors that make each operator correct-by-construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_retract_extremum_handover(spark):
+    """Deleting a key's extremum row must hand min/max to the surviving
+    runner-up (state alone can't tell — the recompute-affected-keys path);
+    keys losing every row must drop out; untouched keys keep state as-is."""
+    from mta_rtf_dbt_spark.operators.incremental import (
+        agg_state,
+        retract_agg_state,
+    )
+
+    rows = [
+        ("a", 1, 10),
+        ("a", 2, 50),  # the max of key a — deleted below
+        ("a", 3, 20),
+        ("b", 4, 7),   # key b fully deleted
+        ("c", 5, 99),  # untouched key
+    ]
+    df = spark.createDataFrame(rows, ["k", "rid", "v"])
+    deleted = F.col("rid").isin(2, 4)
+    state = agg_state(df, ["k"], "v")
+    out = retract_agg_state(
+        state, df.filter(~deleted), df.filter(deleted), ["k"], "v"
+    )
+    got = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"]) for r in out.collect()}
+    assert got == {"a": (2, 30, 10, 20), "c": (1, 99, 99, 99)}
+
+
+def test_equidepth_bucket_sizes(spark):
+    """NTILE contract: bucket sizes differ by at most one and the larger
+    buckets come first; buckets cover disjoint ascending value ranges."""
+    from mta_rtf_dbt_spark.plans.relational import a_histogram_equidepth
+
+    rows = sorted(
+        (r["depth_bucket"], r["n_rows"], r["lo_value"], r["hi_value"])
+        for r in a_histogram_equidepth(spark, SF).collect()
+    )
+    sizes = [r[1] for r in rows]
+    assert len(rows) == 8 and [r[0] for r in rows] == list(range(8))
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    for (_, _, _, hi), (_, _, lo2, _) in zip(rows, rows[1:]):
+        assert hi <= lo2
+
+
+def test_compaction_groups_bounded(spark):
+    """Every compaction group's total stays under target + one file (the
+    straddle convention), and group ids are contiguous from 0."""
+    from mta_rtf_dbt_spark.operators.layout import (
+        TARGET_COMPACT_BYTES,
+        layout_compaction_plan,
+    )
+
+    plan = layout_compaction_plan(spark, SF).collect()
+    groups: dict[int, list[int]] = {}
+    for r in plan:
+        groups.setdefault(r["compact_group"], []).append(r["size_bytes"])
+    assert sorted(groups) == list(range(len(groups)))
+    max_file = max(r["size_bytes"] for r in plan)
+    for g, sizes in groups.items():
+        assert sum(sizes) <= TARGET_COMPACT_BYTES + max_file
+
+
+def test_gapfill_interp_endpoints(spark):
+    """Observed minutes pass through exactly (den=1, num=actors); every
+    interpolated minute lies within [min, max] of its two neighbors and
+    edge gaps (before first / after last observation) stay NULL."""
+    from mta_rtf_dbt_spark.metrics.events_analog import m1_gapfill_interpolate
+
+    rows = sorted(
+        (r["ts_minute"], r["observed"], r["interp_num"], r["interp_den"])
+        for r in m1_gapfill_interpolate(spark, SF).collect()
+    )
+    obs_idx = [i for i, r in enumerate(rows) if r[1]]
+    assert obs_idx, "window contains no observations at sf0.001"
+    first_obs, last_obs = obs_idx[0], obs_idx[-1]
+    for i, (_, observed, num, den) in enumerate(rows):
+        if observed:
+            assert den == 1 and num is not None
+        elif i < first_obs or i > last_obs:
+            assert num is None and den is None
+        else:
+            prev_v = next(rows[j][2] for j in range(i, -1, -1) if rows[j][1])
+            next_v = next(rows[j][2] for j in range(i, len(rows)) if rows[j][1])
+            assert den is not None and den > 0
+            assert min(prev_v, next_v) * den <= num <= max(prev_v, next_v) * den
