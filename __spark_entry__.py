@@ -75,6 +75,14 @@ _PRIORITY = [
     # -- fixed this round: the one entry never green in any round (r4 red:
     #    driver canonicalizer vs array columns — now emitted as scalars) --
     "a_array_agg_sorted",
+    # -- changed this round (code changed while r4-green — a silent
+    #    regression here would stand on a stale green, so they outrank the
+    #    never-checked new entries): salted count -> COUNT(*), histogram
+    #    divisor guard, simhash 4x16 banding, single-pass funnel counts --
+    "a_salted_skew_agg",
+    "a_histogram_values",
+    "dedup_simhash",
+    "corpus_curation_funnel",
     # -- new this round (second wave): erasure + retraction, equi-depth
     #    NTILE via distributed prefix sum, integer-exact gap interpolation,
     #    insert_overwrite materialization, left-outer stream-stream join
@@ -86,6 +94,8 @@ _PRIORITY = [
     "mta_fts_insert_overwrite",
     "stream_stream_left_join",
     "layout_compaction_plan",
+    "m_anomaly_rolling_zscore",
+    "mix_epoch_upsample",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",
@@ -146,12 +156,6 @@ _PRIORITY = [
     "curriculum_shard_plan",
     "pack_boundaries",
     "j_full_outer_reconcile",
-    # -- changed this round: salted count -> COUNT(*), histogram divisor
-    #    guard, simhash 4x16 banding, single-pass funnel counts --
-    "a_salted_skew_agg",
-    "a_histogram_values",
-    "dedup_simhash",
-    "corpus_curation_funnel",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -173,6 +173,83 @@ def m1_gapfill_spine(spark, sf_dir):
 
 
 @q(
+    "m_anomaly_rolling_zscore",
+    """
+    WITH mins AS (
+      SELECT event_type, date_trunc('minute', ts) AS ts_minute,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, ts_minute, n_events,
+             CAST(count(*) OVER win AS BIGINT) AS win_n,
+             CAST(COALESCE(sum(n_events) OVER win, 0) AS BIGINT) AS win_sum,
+             CAST(COALESCE(sum(n_events * n_events) OVER win, 0) AS BIGINT) AS win_sumsq
+      FROM mins
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts_minute
+                     ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, ts_minute, n_events, win_n, win_sum,
+           (win_n >= 30 AND
+            (n_events * win_n - win_sum) * (n_events * win_n - win_sum) * (win_n - 1)
+              > 9 * win_n * (win_n * win_sumsq - win_sum * win_sum)) AS is_anomaly,
+           (n_events * win_n > win_sum) AS above_mean
+    FROM w
+    """,
+)
+def m_anomaly_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags over the per-minute event-count series
+    — the alerting pass that runs on top of every operational metric (M1's
+    trips-per-minute included): a minute is anomalous when its count sits
+    more than 3 sample standard deviations from the trailing-60-observation
+    mean (trailing EXCLUDES the current row; windows with under 30
+    observations stay unflagged as warmup).
+
+    The 3-sigma test is evaluated in EXACT integer arithmetic — the float
+    form (x - mean)^2 > 9*var is cross-multiplied into
+    (x*n - sum)^2 * (n-1) > 9*n*(n*sumsq - sum^2), all BIGINT — so the
+    flag can't flip on engine float rounding and the whole row hashes.
+    Windows are per-series (PARTITION BY event_type): each series windows
+    independently, so the operator parallelizes across series — the
+    per-series sort is the standard time-series layout, not a global one.
+    Gaps: the window is over OBSERVED minutes (compose with
+    m1_gapfill_spine upstream for strict wall-clock windows)."""
+    e = load(spark, sf_dir, "events")
+    mins = e.groupBy(
+        "event_type", bq.timestamp_trunc(F.col("ts"), "minute").alias("ts_minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_minute")
+        .rowsBetween(-60, -1)
+    )
+    w = mins.select(
+        "event_type",
+        "ts_minute",
+        "n_events",
+        F.count(F.lit(1)).over(win).cast("long").alias("win_n"),
+        F.coalesce(F.sum("n_events").over(win), F.lit(0)).cast("long").alias("win_sum"),
+        F.coalesce(F.sum(F.col("n_events") * F.col("n_events")).over(win), F.lit(0))
+        .cast("long")
+        .alias("win_sumsq"),
+    )
+    dev = F.col("n_events") * F.col("win_n") - F.col("win_sum")
+    var_scaled = F.col("win_n") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    return w.select(
+        "event_type",
+        "ts_minute",
+        "n_events",
+        "win_n",
+        "win_sum",
+        (
+            (F.col("win_n") >= 30)
+            & (dev * dev * (F.col("win_n") - 1) > 9 * F.col("win_n") * var_scaled)
+        ).alias("is_anomaly"),
+        (dev > 0).alias("above_mean"),
+    )
+
+
+@q(
     "m1_gapfill_interpolate",
     """
     WITH b AS (

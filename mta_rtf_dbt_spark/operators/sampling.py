@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.session import pin_session
@@ -266,4 +266,75 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("value_milli"),
+    )
+
+
+_EPOCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         (doc_id * {_A} + {_C}) % {_M} AS k,
+         500 + (CAST(substr(source, 4) AS BIGINT) * 137) % 2000 AS em
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, em,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(em // 1000
+            + CASE WHEN rn <= ((em % 1000) * n_src) // 1000 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_repeats
+FROM r
+"""
+
+
+@q("mix_epoch_upsample", _EPOCH_SQL)
+def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EPOCH upsampling plan — the "2.3 epochs of wiki, 0.8 of
+    web" dial every pretraining mix has. Each source's epoch count is a
+    milli-epoch integer (derived here from the source index: 500 + 137*idx
+    mod 2000, spanning 0.5x-2.5x); every doc repeats floor(epochs) times,
+    and the fractional remainder is realized by giving exactly
+    (frac_milli * n_source_docs) div 1000 docs one extra repeat — chosen
+    as the lowest LCG-shuffle ranks, so the extra-repeat subset is a
+    deterministic unbiased pseudo-random sample and the realized token
+    count hits the target within one doc. Largest-remainder allocation,
+    all integer arithmetic.
+
+    Scale: rank and count are per-source windows (parallel across
+    sources); no global order, no shuffle beyond the one partition-by-
+    source exchange. The plan emits (doc_id, n_repeats) — the repeat
+    explode happens at shard-write time (operators/shard.py), so the plan
+    itself never materializes duplicated text."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _A + _C) % _M).alias("k"),
+        (
+            F.lit(500)
+            + (F.expr("CAST(substr(source, 4) AS BIGINT)") * 137) % 2000
+        ).alias("em"),
+    )
+    r = docs.select(
+        "doc_id",
+        "source",
+        "em",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("k", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("em div 1000")
+            + F.when(
+                F.col("rn") <= F.expr("((em % 1000) * n_src) div 1000"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_repeats"),
     )

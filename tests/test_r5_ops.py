@@ -93,3 +93,33 @@ def test_gapfill_interp_endpoints(spark):
             next_v = next(rows[j][2] for j in range(i, len(rows)) if rows[j][1])
             assert den is not None and den > 0
             assert min(prev_v, next_v) * den <= num <= max(prev_v, next_v) * den
+
+
+def test_anomaly_warmup_and_consistency(spark):
+    """Warmup windows (under 30 trailing observations) never flag; flagged
+    rows deviate from the trailing mean in the direction above_mean says."""
+    from mta_rtf_dbt_spark.metrics.events_analog import m_anomaly_rolling_zscore
+
+    rows = m_anomaly_rolling_zscore(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["win_n"] < 30:
+            assert not r["is_anomaly"]
+        assert r["above_mean"] == (r["n_events"] * r["win_n"] > r["win_sum"])
+
+
+def test_epoch_upsample_totals_exact(spark):
+    """Largest-remainder contract: per-source realized repeats hit the
+    integer target exactly, and every doc repeats base or base+1 times."""
+    from mta_rtf_dbt_spark.operators.sampling import mix_epoch_upsample
+
+    plan = mix_epoch_upsample(spark, SF).collect()
+    per_src: dict[str, list[int]] = {}
+    for r in plan:
+        per_src.setdefault(r["source"], []).append(r["n_repeats"])
+    for src, reps in per_src.items():
+        em = 500 + (int(src[3:]) * 137) % 2000
+        n = len(reps)
+        target = (em // 1000) * n + ((em % 1000) * n) // 1000
+        assert sum(reps) == target, (src, sum(reps), target)
+        assert set(reps) <= {em // 1000, em // 1000 + 1}
