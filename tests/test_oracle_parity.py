@@ -28,6 +28,15 @@ def test_oracle_parity(spark, duck, name, fn, sql):
         # rows-only check (driver's weaker path for non-SQL-expressible ops)
         assert df.count() >= 0
         return
+    # The driver's pandas canonicalizer cannot hash container-typed result
+    # columns (r4: a_array_agg_sorted red on `unhashable type: 'list'`) —
+    # every oracle-backed entry must emit scalars only.
+    bad = [
+        f"{c}:{t}"
+        for c, t in df.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    assert not bad, f"{name}: container-typed result columns {bad}"
     errs = compare(name, df, duck, sql)
     assert not errs, "\n".join(errs)
 
