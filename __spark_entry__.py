@@ -96,6 +96,7 @@ _PRIORITY = [
     "layout_compaction_plan",
     "m_anomaly_rolling_zscore",
     "mix_epoch_upsample",
+    "dedup_keep_best",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",

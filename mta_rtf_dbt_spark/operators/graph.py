@@ -437,3 +437,62 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
     return dedup_keep_list_frame(docs, edges)
+
+
+_KEEP_BEST_SQL = (
+    _CC_CTES
+    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+reps AS (
+  SELECT canonical_id,
+         arg_max(doc_id, n_chars * 1000000000 - doc_id) AS rep_id
+  FROM labeled GROUP BY canonical_id
+)
+SELECT l.doc_id, l.canonical_id, r.rep_id, l.doc_id = r.rep_id AS keep
+FROM labeled l JOIN reps r USING (canonical_id)
+"""
+)
+
+
+@q("dedup_keep_best", _KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representatives: same near-dup clusters as
+    dedup_keep_list, but the survivor is the BEST doc per cluster (longest
+    text, doc_id as tiebreak) instead of the smallest id — the policy real
+    curation pipelines want, since near-dup clusters usually contain one
+    full document plus truncated or boilerplate-wrapped copies. The argmax
+    is ``max_by`` over the injective integer key n_chars*1e9 - doc_id
+    (strictly unique, so the pick is deterministic per D4 discipline and
+    the oracle's arg_max matches exactly).
+
+    Scale: one map-combined argmax per cluster riding the canonical-id
+    shuffle, then a join of cluster-count rows back onto the labeled
+    corpus — no new corpus-sized shuffle beyond keep_list's."""
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
+
+    docs = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    reps = labeled.groupBy("canonical_id").agg(
+        F.max_by(
+            "doc_id", F.col("n_chars") * F.lit(1_000_000_000) - F.col("doc_id")
+        ).alias("rep_id")
+    )
+    return labeled.join(reps, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+    )

@@ -279,3 +279,25 @@ def test_rag_and_bloom_broadcast_plans(spark):
         final = plan.split("Initial Plan")[0]
         assert marker in final, f"{name}: no broadcast join\n{final}"
         assert "CartesianProduct" not in final, name
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
+    """Scale evidence: a partitioned fact joined to a selectively-filtered
+    dim must get a runtime dynamicpruning partition filter on the fact scan
+    (only the dim-surviving partitions are read — the mechanism that turns
+    a full-table star-join scan into a few-partition read at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    tmp = str(tmp_path_factory.mktemp("dpp"))
+    load(spark, "/root/testdata/sf0.001", "events").write.partitionBy(
+        "event_type"
+    ).parquet(tmp + "/ev")
+    fact = spark.read.parquet(tmp + "/ev")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], ["event_type", "w"]
+    ).filter(F.col("w") == 1)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
