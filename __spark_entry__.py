@@ -97,6 +97,7 @@ _PRIORITY = [
     "m_anomaly_rolling_zscore",
     "mix_epoch_upsample",
     "dedup_keep_best",
+    "multimodal_image_meta",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",

@@ -263,3 +263,76 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_no").cast("long").alias("frame_no"),
         (F.col("frame_no") * frame_size).cast("long").alias("byte_offset"),
     )
+
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+JPEG_MAGIC_HEX = "FFD8FF"
+
+
+def synth_image_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic image-container payloads built ENTIRELY JVM-side
+    (binary concat of unhex'd parts — no Python): docs with doc_id % 7 == 0
+    get a JPEG SOI prefix; the rest get a real PNG byte layout — 8-byte
+    magic, IHDR length+tag, then width/height as 4-byte big-endian ints
+    (width = 16 + doc_id % 2048, height = 16 + n_chars % 2048)."""
+    w = (F.lit(16) + F.col("doc_id") % 2048).cast("long")
+    h = (F.lit(16) + F.col("n_chars") % 2048).cast("long")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit(PNG_MAGIC_HEX)),
+        F.unhex(F.lit("0000000D")),  # IHDR chunk length
+        F.unhex(F.lit("49484452")),  # "IHDR"
+        be4(w),
+        be4(h),
+    )
+    jpeg = F.concat(F.unhex(F.lit(JPEG_MAGIC_HEX)), F.unhex(F.lit("E000104A464946")))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, jpeg).otherwise(png).alias("payload"),
+    )
+
+
+def media_header_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container sniffing + dimension extraction from raw header BYTES,
+    entirely in whole-stage codegen (substring on binary -> hex -> conv
+    base-16) — the decode-free metadata pass a 100 TB media crawl runs
+    first: no codec, no Python, no payload leaving the executors. PNG gets
+    width/height from the IHDR fixed offsets (bytes 17-24); containers
+    without a fixed-offset geometry (JPEG needs a marker scan) report NULL
+    dims and flow to the (stubbed) deep decode stage instead."""
+    p = F.col(payload_col)
+    is_png = F.hex(F.substring(p, 1, 8)) == PNG_MAGIC_HEX
+    is_jpeg = F.hex(F.substring(p, 1, 3)) == JPEG_MAGIC_HEX
+    width = F.conv(F.hex(F.substring(p, 17, 4)), 16, 10).cast("long")
+    height = F.conv(F.hex(F.substring(p, 21, 4)), 16, 10).cast("long")
+    return media.select(
+        "doc_id",
+        F.when(is_png, F.lit("png"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+        .alias("container"),
+        F.when(is_png, width).alias("width"),
+        F.when(is_png, height).alias("height"),
+    )
+
+
+_IMAGE_META_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'jpeg' ELSE 'png' END AS container,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(16 + doc_id % 2048 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(16 + n_chars % 2048 AS BIGINT) END AS height
+    FROM documents
+    """
+
+
+@q("multimodal_image_meta", _IMAGE_META_SQL)
+def multimodal_image_meta(spark, sf_dir):
+    """Synthesize container payloads, then parse them back — the oracle
+    recomputes the expected metadata straight from the source fields, so
+    the hash check proves the byte-level synth -> header-parse roundtrip
+    (magic match, big-endian IHDR geometry, NULL dims for the marker-scan
+    container) end to end."""
+    docs = load(spark, sf_dir, "documents")
+    return media_header_meta(synth_image_payloads(docs))
