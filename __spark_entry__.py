@@ -98,6 +98,8 @@ _PRIORITY = [
     "mix_epoch_upsample",
     "dedup_keep_best",
     "multimodal_image_meta",
+    "sample_group_kfold",
+    "stream_agg_maintenance",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",

@@ -338,3 +338,36 @@ def mix_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_repeats"),
     )
+
+
+_KFOLD_SQL = f"""
+SELECT {_lcg_sql("user_id", 5, seed=11)} AS fold, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_groups
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("sample_group_kfold", _KFOLD_SQL)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment (k=5, seed 11): the fold is a
+    deterministic LCG hash of the GROUP key (user_id), never the row — so
+    every row of a user lands in the same fold and cross-validation can't
+    leak a user's behavior between train and validation splits (the
+    classic leakage bug row-level splitting causes on entity-correlated
+    data). Emits the per-(fold, event_type) census; the fold expression is
+    the same hash family as every other split in the engine, so splits
+    compose consistently.
+
+    Scale: the fold key is a per-row projection (no shuffle beyond the
+    census aggregate); fold membership needs no group table — any executor
+    can recompute any row's fold from the key alone."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("fold", lcg_bucket(F.col("user_id"), 5, seed=11))
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_groups"),
+        )
+    )

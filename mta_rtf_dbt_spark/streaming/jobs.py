@@ -293,6 +293,44 @@ def stream_stream_join(spark, sf_dir):
 
 
 @q(
+    "stream_agg_maintenance",
+    """
+    SELECT event_type,
+           count(value_milli)                      AS n,
+           CAST(sum(value_milli) AS BIGINT)        AS sum_v,
+           min(value_milli)                        AS min_v,
+           max(value_milli)                        AS max_v,
+           round(sum(value_milli) * 1.0 / count(value_milli), 6) AS avg_v
+    FROM (SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_agg_maintenance_entry(spark, sf_dir):
+    """Streaming incremental aggregate maintenance: drain the events stream
+    through the foreachBatch monoid-fold sink
+    (streaming/upsert.stream_agg_maintenance — batch-id-guarded, so SUM
+    folds stay exactly-once under redelivery) and finalize the state table;
+    the oracle is the one-pass batch aggregate, proving stream-maintained
+    state equals recompute. The batch entry incremental_agg_merge folds the
+    same monoid over static slices — one algebra, two arrival modes."""
+    import tempfile
+
+    from mta_rtf_dbt_spark.operators.incremental import finalize_agg
+    from mta_rtf_dbt_spark.streaming.upsert import stream_agg_maintenance
+
+    tmp = tempfile.mkdtemp(prefix="agg_maint_")
+    src = stream_source(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli")
+    )
+    query = stream_agg_maintenance(
+        spark, src, f"{tmp}/state", f"{tmp}/ckpt", ["event_type"], "value_milli"
+    )
+    query.awaitTermination(600)
+    return finalize_agg(spark.read.parquet(f"{tmp}/state"), ["event_type"])
+
+
+@q(
     "stream_stream_left_join",
     """
     SELECT a.user_id,

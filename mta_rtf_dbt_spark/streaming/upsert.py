@@ -405,3 +405,66 @@ def stream_model_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_agg_maintenance(
+    spark: SparkSession,
+    source: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value: str,
+):
+    """Maintain the mergeable partial-aggregate state table
+    (:mod:`operators.incremental`) from a stream: each micro-batch is
+    aggregated once (map-combined) and folded into the persisted state with
+    the monoid merge — the streaming form of incremental aggregate
+    maintenance, giving always-fresh per-key count/sum/min/max without ever
+    re-scanning history.
+
+    Unlike MERGE upserts, a SUM fold is NOT naturally idempotent — a
+    redelivered batch would double-count. The sink therefore records the
+    last applied batch_id next to the state and skips any batch at or below
+    it: foreachBatch's at-least-once redelivery (same checkpoint, same
+    batch ids) becomes exactly-once state. The marker binds the state to
+    one checkpoint lineage; on Delta/Iceberg this is the txn-version the
+    engine stores transactionally. Writes are staged-then-swapped.
+    Returns the completed StreamingQuery."""
+    import os
+    import shutil
+
+    from mta_rtf_dbt_spark.operators.incremental import agg_state, merge_agg_states
+
+    marker = state_path.rstrip("/") + ".__last_batch__"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # redelivered batch: already folded into state
+        bstate = agg_state(batch_df, keys, value)
+        if os.path.isdir(state_path):
+            merged = merge_agg_states(spark.read.parquet(state_path), bstate, keys)
+        else:
+            merged = bstate
+        staged = state_path.rstrip("/") + ".__staged__"
+        merged.persist()
+        merged.count()
+        try:
+            merged.write.mode("overwrite").parquet(staged)
+            if os.path.isdir(state_path):
+                shutil.rmtree(state_path)
+            shutil.move(staged, state_path)
+            with open(marker, "w") as fh:
+                fh.write(str(batch_id))
+        finally:
+            merged.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -123,3 +123,77 @@ def test_epoch_upsample_totals_exact(spark):
         target = (em // 1000) * n + ((em % 1000) * n) // 1000
         assert sum(reps) == target, (src, sum(reps), target)
         assert set(reps) <= {em // 1000, em // 1000 + 1}
+
+
+def test_stream_agg_maintenance_multibatch_and_replay(spark, tmp_path):
+    """Three micro-batches fold to the exact batch aggregate; a full
+    redelivery (fresh checkpoint, same state) is skipped by the batch-id
+    guard — SUM state stays exactly-once under at-least-once delivery."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.operators.incremental import finalize_agg
+    from mta_rtf_dbt_spark.streaming.upsert import stream_agg_maintenance
+
+    from mta_rtf_dbt_spark.sources.registry import load
+
+    e = load(spark, SF, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    for i in range(3):
+        stage = str(tmp_path / f"stage_{i}")
+        e.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(f"{stage}/{part}", str(inc / f"b{i}.parquet"))
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inc))
+        )
+        q = stream_agg_maintenance(
+            spark,
+            stream.select("event_type", "value_milli"),
+            str(tmp_path / "state"),
+            ckpt,
+            ["event_type"],
+            "value_milli",
+        )
+        assert q.awaitTermination(300)
+
+    run(str(tmp_path / "ckpt1"))
+    got = {
+        r["event_type"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in finalize_agg(
+            spark.read.parquet(str(tmp_path / "state")), ["event_type"]
+        ).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("value_milli").alias("n"),
+            F.sum("value_milli").alias("sum_v"),
+            F.min("value_milli").alias("min_v"),
+            F.max("value_milli").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # full redelivery: fresh checkpoint replays batches 0..2; the marker
+    # (last applied = 2) must skip every one — state unchanged, not doubled
+    run(str(tmp_path / "ckpt2"))
+    again = {
+        r["event_type"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in finalize_agg(
+            spark.read.parquet(str(tmp_path / "state")), ["event_type"]
+        ).collect()
+    }
+    assert again == exp
