@@ -100,6 +100,7 @@ _PRIORITY = [
     "multimodal_image_meta",
     "sample_group_kfold",
     "stream_agg_maintenance",
+    "dq_schema_contract",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",
