@@ -101,6 +101,7 @@ _PRIORITY = [
     "sample_group_kfold",
     "stream_agg_maintenance",
     "dq_schema_contract",
+    "text_bm25_topk",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",

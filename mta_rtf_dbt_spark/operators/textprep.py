@@ -917,3 +917,110 @@ def gdpr_erasure_audit(spark, sf_dir):
     return audit("documents", docs).unionAll(
         audit("chunks", chunk_documents(docs))
     )
+
+
+BM25_QUERY = ["window", "merge", "stream"]
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@q(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                  FROM documents),
+    tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS avgdl_milli
+               FROM dl),
+    tfq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tk WHERE token IN ({_BM25_TERMS}) GROUP BY 1, 2),
+    idf AS (SELECT token,
+                   CAST(ROUND(ln((n_docs - df_docs + 0.5) / (df_docs + 0.5) + 1) * 1000000) AS BIGINT) AS idf_micro
+            FROM (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+                  FROM tfq GROUP BY 1) CROSS JOIN corpus),
+    scored AS (
+      SELECT t.doc_id,
+             CAST((i.idf_micro * t.tf * 2200)
+                  // (t.tf * 1000
+                      + (1200 * (250 + (750 * ((d.dl * 1000000) // c.avgdl_milli)) // 1000)) // 1000)
+               AS BIGINT) AS s
+      FROM tfq t JOIN idf i USING (token) JOIN dl d USING (doc_id) CROSS JOIN corpus c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(s) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus for a fixed query (k1=1.2, b=0.75,
+    idf = ln((N-df+0.5)/(df+0.5)+1)) — the lexical-ranking baseline every
+    retrieval stack is measured against, and TF-IDF's production successor
+    (length-normalized, tf-saturating). All score arithmetic is fixed-point:
+    idf is micro-integerized at the one ln() (the engine's float-hash
+    discipline) and every subsequent step — dl/avgdl normalization, the k1/b
+    denominator, the final per-term score — is integer `div` with identical
+    nesting in both engines, so the ranking can never drift on float
+    rounding.
+
+    Scale: one token explode feeding doc-length and query-term tf aggs
+    (query terms filter BEFORE the tf agg — the posting list of 3 terms,
+    not the corpus vocabulary); idf and the corpus scalars are broadcast;
+    top-k is TakeOrdered, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    tk = spread(docs).select(
+        "doc_id", F.explode(T.tokens(T.normalize(F.col("text")))).alias("token")
+    )
+    tk = scoped_persist(tk, "bm25.tokens", eager=True)
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(sum(dl) AS BIGINT) * 1000 div count(*)").alias("avgdl_milli"),
+    )
+    tfq = (
+        tk.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tfq.groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df_docs"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df_docs") + 0.5)
+                    / (F.col("df_docs") + 0.5)
+                    + 1
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = (
+        tfq.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("dl_norm_milli", F.expr("(dl * 1000000) div avgdl_milli"))
+        .withColumn(
+            "s",
+            F.expr(
+                "CAST((idf_micro * tf * 2200) div (tf * 1000"
+                " + (1200 * (250 + (750 * dl_norm_milli) div 1000)) div 1000)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("s").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
