@@ -83,25 +83,13 @@ _PRIORITY = [
     "a_histogram_values",
     "dedup_simhash",
     "corpus_curation_funnel",
-    # -- new this round (second wave): erasure + retraction, equi-depth
-    #    NTILE via distributed prefix sum, integer-exact gap interpolation,
-    #    insert_overwrite materialization, left-outer stream-stream join
-    #    (watermark-closed-horizon oracle), compaction planner --
+    # -- new this round (second wave, headliners): erasure cascade,
+    #    aggregate retraction, insert_overwrite materialization, left-outer
+    #    stream-stream join (watermark-closed-horizon oracle) --
     "gdpr_erasure_audit",
     "incremental_agg_retract",
-    "a_histogram_equidepth",
-    "m1_gapfill_interpolate",
     "mta_fts_insert_overwrite",
     "stream_stream_left_join",
-    "layout_compaction_plan",
-    "m_anomaly_rolling_zscore",
-    "mix_epoch_upsample",
-    "dedup_keep_best",
-    "multimodal_image_meta",
-    "sample_group_kfold",
-    "stream_agg_maintenance",
-    "dq_schema_contract",
-    "text_bm25_topk",
     # -- new this round: the FULL metric workload (M1-M12) driver-gated over
     #    the real MTA fixtures (r4 verdict item 1) --
     "mta_m1",
@@ -159,9 +147,24 @@ _PRIORITY = [
     "graph_pagerank",
     "a_skew_report",
     "mta_dq_checks",
+    "j_full_outer_reconcile",
+    # ---- ~position 50: the driver's check window ends here (r4: exactly
+    #      50 entries). Everything below leads the r6 rotation. ----
     "curriculum_shard_plan",
     "pack_boundaries",
-    "j_full_outer_reconcile",
+    # -- new this round (second wave, remainder — hash-green in the local
+    #    sf0.01 replica; first driver row lands in r6) --
+    "a_histogram_equidepth",
+    "m1_gapfill_interpolate",
+    "layout_compaction_plan",
+    "m_anomaly_rolling_zscore",
+    "mix_epoch_upsample",
+    "dedup_keep_best",
+    "multimodal_image_meta",
+    "sample_group_kfold",
+    "stream_agg_maintenance",
+    "dq_schema_contract",
+    "text_bm25_topk",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",
