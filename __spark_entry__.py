@@ -165,6 +165,9 @@ _PRIORITY = [
     "stream_agg_maintenance",
     "dq_schema_contract",
     "text_bm25_topk",
+    "incremental_join_maintenance",
+    "j_null_safe_join",
+    "f_array_hof_pack",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

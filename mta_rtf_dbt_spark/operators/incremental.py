@@ -201,3 +201,63 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         bstate = agg_state(batch, ["event_type"], "value_milli")
         state = bstate if state is None else merge_agg_states(state, bstate, ["event_type"])
     return finalize_agg(state, ["event_type"])
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    cond,
+) -> DataFrame:
+    """The delta rule for incremental JOIN view maintenance under appends:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so the maintained view J' = J_old ∪ Δ(A⋈B) without ever re-joining the
+    two full relations. At 100 TB the asymmetry is the whole point: the
+    daily deltas are partition-sized, so ΔA⋈B probes the (bucketed) big
+    side with a small build, A⋈ΔB broadcasts ΔB, and ΔA⋈ΔB is tiny — the
+    full-history A⋈B shuffle is paid once at bootstrap and never again."""
+    return (
+        a_delta.join(b_old, cond)
+        .unionByName(a_old.join(F.broadcast(b_delta), cond))
+        .unionByName(a_delta.join(F.broadcast(b_delta), cond))
+    )
+
+
+@q(
+    "incremental_join_maintenance",
+    """
+    SELECT c.c_nationkey, o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the orders⋈customer view incrementally: both relations are
+    split into an old slice and an appended delta (orders: orderkey%5==0,
+    customer: custkey%7==0), the view is bootstrapped from the old slices,
+    and the three delta-rule joins append the rest. The aggregate over the
+    maintained view must hash-equal DuckDB's one-pass join over the full
+    relations — proving the delta rule neither drops nor duplicates any
+    (order, customer) pair, including pairs where BOTH sides arrived in
+    the delta (the ΔA⋈ΔB term naive implementations forget)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    o_delta_pred = (F.col("o_orderkey") % 5) == 0
+    a_old, a_delta = o.filter(~o_delta_pred), o.filter(o_delta_pred)
+    c_delta_pred = (F.col("c_custkey") % 7) == 0
+    b_old, b_delta = c.filter(~c_delta_pred), c.filter(c_delta_pred)
+    j = a_old.join(b_old, cond).unionByName(
+        incremental_join_delta(a_old, a_delta, b_old, b_delta, cond)
+    )
+    return j.groupBy("c_nationkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+    )

@@ -720,6 +720,113 @@ def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "j_null_safe_join",
+    """
+    WITH a AS (SELECT event_id, nullif(user_id % 10, 7) AS k FROM events),
+    b AS (SELECT nullif(user_id % 10, 7) AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+    plain AS (SELECT CAST(count(*) AS BIGINT) AS n_plain,
+                     CAST(COALESCE(sum(b.cnt), 0) AS BIGINT) AS w_plain
+              FROM a JOIN b ON a.k = b.k),
+    nsafe AS (SELECT CAST(count(*) AS BIGINT) AS n_nullsafe,
+                     CAST(COALESCE(sum(b.cnt), 0) AS BIGINT) AS w_nullsafe
+              FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k),
+    nulls AS (SELECT CAST(count(*) AS BIGINT) AS n_null_keys FROM a WHERE k IS NULL)
+    SELECT n_plain, w_plain, n_nullsafe, w_nullsafe, n_null_keys
+    FROM plain, nsafe, nulls
+    """,
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join semantics (``<=>`` / IS NOT DISTINCT FROM) vs the
+    plain ``=`` join, measured on the same keyed relations: under ``=``
+    every NULL-keyed row silently drops (NULL never equals NULL), under the
+    null-safe operator the NULL group joins like any other key — the
+    difference is exactly the planted NULL-key census the entry emits
+    alongside both join cardinalities. This is the semantic corner that
+    silently loses rows in dimension joins on nullable business keys (the
+    MERGE operator builds its key condition with eqNullSafe for the same
+    reason).
+
+    Scale: ``<=>`` remains a hash-joinable equi-condition in Spark (NULL
+    hashes as a regular key value) — no fallback to a nested-loop join, so
+    the null-safe form costs the same shuffle as ``=``."""
+    e = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(7))
+    a = e.select("event_id", k.alias("k"))
+    b = e.groupBy(k.alias("k")).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    plain = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k") == F.col("b.k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_plain"),
+            F.coalesce(F.sum("b.cnt"), F.lit(0)).cast("long").alias("w_plain"),
+        )
+    )
+    nsafe = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nullsafe"),
+            F.coalesce(F.sum("b.cnt"), F.lit(0)).cast("long").alias("w_nullsafe"),
+        )
+    )
+    nulls = a.filter(F.col("k").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_null_keys")
+    )
+    return plain.crossJoin(nsafe).crossJoin(nulls)
+
+
+@q(
+    "f_array_hof_pack",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS BIGINT) AS sum_micro,
+           CAST(list_sum(list_transform(v, x -> CAST(round(x * x * 1000000) AS BIGINT))) AS BIGINT) AS self_dot_micro
+    FROM e
+    """,
+)
+def f_array_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions in one per-row projection — transform /
+    filter / aggregate / zip_with over the embedding column, the lambda
+    surface that processes array columns WITHOUT exploding (no row
+    multiplication, no shuffle; at 100 TB an explode of a 768-dim column
+    is a 768x row blowup the HOF form never pays).
+
+    Float discipline: elements are cast float->double (exact) and every
+    product/element is micro-integerized BEFORE the fold, so the array
+    fold is a bigint sum — order-free and engine-exact, the same
+    per-product rounding the ANN operators use. HOF lambdas run
+    interpreted (no codegen) — fine for per-row projections; the measured
+    anti-pattern (similarity.py docstring) is using them for the HOT dot
+    products in a join, where the exploded/pivoted codegen form is ~2x
+    faster."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+        F.expr(
+            "CAST(size(filter(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " x -> x > 0D)) AS BIGINT)"
+        ).alias("n_pos"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000000) AS BIGINT)), 0L, (acc, x) -> acc + x)"
+        ).alias("sum_micro"),
+        F.expr(
+            "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " (a, b) -> CAST(round(a * b * 1000000) AS BIGINT)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("self_dot_micro"),
+    )
+
+
+@q(
     "a_mode_top_actor",
     """
     WITH c AS (SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
