@@ -168,6 +168,7 @@ _PRIORITY = [
     "incremental_join_maintenance",
     "j_null_safe_join",
     "f_array_hof_pack",
+    "s6_cdc_diff",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

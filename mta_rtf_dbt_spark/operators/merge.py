@@ -291,3 +291,90 @@ def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         delete_condition=F.col("s._op") == "D",
     )
+
+
+def cdc_diff(
+    old: DataFrame, new: DataFrame, on: list[str], tracked: list[str]
+) -> DataFrame:
+    """Change-data-feed between two table versions — the INVERSE of MERGE
+    (Delta CDF / Iceberg changelog): full-outer join the versions on the
+    key and classify every key as insert / delete / update (any tracked
+    column differing null-safely) / unchanged, emitting before/after values
+    for changed keys only. Downstream incremental consumers replay this
+    feed instead of re-reading the table.
+
+    Scale: one co-partitioned full-outer join on the key (bucket both
+    versions on the key and it is shuffle-free); unchanged keys — the vast
+    majority of a daily diff — are filtered before the feed materializes."""
+    o = old.select(
+        *on,
+        F.lit(1).alias("_o"),
+        *[F.col(c).alias(f"{c}_before") for c in tracked],
+    )
+    n = new.select(
+        *on,
+        F.lit(1).alias("_n"),
+        *[F.col(c).alias(f"{c}_after") for c in tracked],
+    )
+    j = o.join(n, on, "full_outer")
+    changed = None
+    for c in tracked:
+        d = ~F.col(f"{c}_before").eqNullSafe(F.col(f"{c}_after"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(F.col("_o").isNull(), F.lit("insert"))
+        .when(F.col("_n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op") != "unchanged")
+        .select(
+            *on,
+            "op",
+            *[x for c in tracked for x in (f"{c}_before", f"{c}_after")],
+        )
+    )
+
+
+@q(
+    "s6_cdc_diff",
+    """
+    SELECT o_orderkey, 'delete' AS op,
+           o_orderstatus AS o_orderstatus_before, CAST(NULL AS VARCHAR) AS o_orderstatus_after,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents_before,
+           CAST(NULL AS BIGINT) AS price_cents_after
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, 'update', o_orderstatus, 'U',
+           CAST(round(o_totalprice * 100, 0) AS BIGINT),
+           CAST(round(o_totalprice * 1.1 * 100, 0) AS BIGINT)
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'insert', NULL, 'N',
+           NULL, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+    FROM orders WHERE o_orderkey % 7 = 3
+    """,
+)
+def s6_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip proof: apply the three-branch change batch via MERGE
+    (s6_merge_upsert), then diff the merged table against the original —
+    the feed must recover EXACTLY the delete / update / insert operations
+    that were applied, with the update branch's before/after values intact
+    (the oracle states the expected feed directly from the change-batch
+    rules). MERGE and CDC-diff are inverse operators; hash equality here
+    pins both directions at once."""
+    orders = load(spark, sf_dir, "orders")
+    merged = s6_merge_upsert(spark, sf_dir)
+
+    def slim(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+
+    return cdc_diff(
+        slim(orders), slim(merged), ["o_orderkey"], ["o_orderstatus", "price_cents"]
+    )
