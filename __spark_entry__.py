@@ -169,6 +169,8 @@ _PRIORITY = [
     "j_null_safe_join",
     "f_array_hof_pack",
     "s6_cdc_diff",
+    "lm_ccnet_buckets",
+    "dedup_cluster_stats",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -496,3 +496,49 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id",
         (F.col("doc_id") == F.col("rep_id")).alias("keep"),
     )
+
+
+_CLUSTER_STATS_SQL = (
+    _CC_CTES
+    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sizes AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labeled GROUP BY 1)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+)
+
+
+@q("dedup_cluster_stats", _CLUSTER_STATS_SQL)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph (singletons
+    included) — the dedup AUDIT chart: how much of the corpus sits in
+    2-doc pairs vs giant boilerplate clusters decides whether keep-one
+    dedup is safe or a template family needs its own handling. Two
+    map-combined aggregates over the keep-list labeling; the distribution
+    is bucket-count-sized output."""
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
+
+    docs = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id")
+        )
+    )
+    sizes = labeled.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load, spread
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -179,3 +179,103 @@ def lm_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     typical, very high magnitude = gibberish or out-of-domain)."""
     docs = load(spark, sf_dir, "documents")
     return lm_score(docs, unigram_model(docs))
+
+
+@q(
+    "lm_ccnet_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, {_ARR_SQL} AS arr FROM documents),
+    tok AS (SELECT doc_id, unnest(arr) AS token FROM toks),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM freq),
+    model AS (
+      SELECT token,
+             CAST(ROUND(ln((c + 1.0) / (n_total + v_size)) * 1000000) AS BIGINT) AS micro_lp
+      FROM freq, totals
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(ROUND(SUM(micro_lp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_micro_lp
+      FROM tok JOIN model USING (token) GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY avg_micro_lp DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT *, CASE WHEN rn <= n // 3 THEN 'head'
+                     WHEN rn <= (2 * n) // 3 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           MIN(avg_micro_lp) AS min_avg_micro_lp,
+           MAX(avg_micro_lp) AS max_avg_micro_lp
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: rank every document by its unigram
+    LM score (best = most fluent first) and cut the corpus into thirds —
+    head feeds pretraining as-is, middle gets a second look, tail is
+    dropped. The ranking key is the already-integerized avg_micro_lp with
+    a doc_id tiebreak, so the cut membership is engine-exact.
+
+    Scale: the global rank over per-doc scores uses the two-phase prefix
+    sum (range buckets over broadcast min/max of the score, per-bucket
+    row_number, broadcast bucket offsets ordered score-descending) — the
+    score relation is doc-count-sized, but at corpus scale that is still
+    billions of rows, so no single-partition sort here either."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = lm_score(docs, unigram_model(docs)).select(
+        "doc_id", "n_tokens", "avg_micro_lp"
+    )
+    scored = scoped_persist(scored, "ccnet.scored", eager=True)
+    nb = 64
+    bounds = scored.agg(
+        F.min("avg_micro_lp").alias("lo"), F.max("avg_micro_lp").alias("hi")
+    )
+    pre = scored.crossJoin(F.broadcast(bounds)).withColumn(
+        "pbucket",
+        F.expr(f"(avg_micro_lp - lo) * {nb} div (hi - lo + 1)"),
+    )
+    wloc = Window.partitionBy("pbucket").orderBy(
+        F.col("avg_micro_lp").desc(), "doc_id"
+    )
+    local = pre.withColumn("lrn", F.row_number().over(wloc))
+    offs = (
+        local.groupBy("pbucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "boffset",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy(F.col("pbucket").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n", F.sum("bn").over(Window.partitionBy()))
+        .select("pbucket", "boffset", "n")
+    )
+    ranked = local.join(F.broadcast(offs), "pbucket").withColumn(
+        "rn", F.col("boffset") + F.col("lrn")
+    )
+    bucket = (
+        F.when(F.col("rn") <= F.expr("n div 3"), F.lit("head"))
+        .when(F.col("rn") <= F.expr("(2 * n) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.min("avg_micro_lp").alias("min_avg_micro_lp"),
+        F.max("avg_micro_lp").alias("max_avg_micro_lp"),
+    )
