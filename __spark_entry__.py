@@ -45,6 +45,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.lm",
         "mta_rtf_dbt_spark.operators.layout",
         "mta_rtf_dbt_spark.operators.scale",
+        "mta_rtf_dbt_spark.operators.privacy",
     ]
     out = []
     for m in mods:
@@ -171,6 +172,8 @@ _PRIORITY = [
     "s6_cdc_diff",
     "lm_ccnet_buckets",
     "dedup_cluster_stats",
+    "a_dp_noisy_counts",
+    "a_k_anonymity_audit",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",
