@@ -174,6 +174,9 @@ _PRIORITY = [
     "dedup_cluster_stats",
     "a_dp_noisy_counts",
     "a_k_anonymity_audit",
+    "graph_triangles",
+    "a_mad_outliers",
+    "a_attribution_last_touch",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

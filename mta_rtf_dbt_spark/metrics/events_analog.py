@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import bq
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -986,4 +986,133 @@ def j_temporal_scd2_lookup(spark, sf_dir):
         "ts",
         F.col("valid_from").alias("version_valid_from"),
         F.col("value_milli").alias("version_value_milli"),
+    )
+
+
+@q(
+    "a_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(CAST(any_value(d.med) AS DOUBLE), 6) AS median_value,
+           ROUND(CAST(any_value(m.mad) AS DOUBLE), 6) AS mad_value,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def a_mad_outliers(spark, sf_dir):
+    """Robust outlier census per series: median / MAD (median absolute
+    deviation) and the count of values beyond 3 MADs — the
+    mean/stddev-free profile that heavy tails can't poison (the rolling
+    z-score entry's batch-robust sibling). Two exact-percentile passes
+    (production swaps percentile_approx per D7); the 3-MAD comparison runs
+    on identically-derived doubles in both engines, so the census is
+    deterministic, and the released median/MAD round to 6dp per the
+    float-output discipline."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    dev = scoped_persist(dev, "mad.dev", eager=True)
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad_value"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@q(
+    "a_attribution_last_touch",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+          FROM events WHERE event_type = 'view'),
+    joined AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, v.view_id, v.v_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.v_ts DESC NULLS LAST,
+                                         v.view_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.v_ts <= p.p_ts
+       AND v.v_ts > p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id, view_id AS attributed_view_id,
+           CASE WHEN view_id IS NULL THEN NULL
+                ELSE CAST((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000 AS BIGINT)
+           END AS gap_s
+    FROM joined WHERE rn = 1
+    """,
+)
+def a_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the same
+    user's LATEST view within the 7-day lookback (ties broken by view id;
+    purchases with no qualifying view stay unattributed, not dropped) —
+    the canonical marketing-analytics join. One user-keyed interval join
+    plus a per-purchase top-1 window; the interval bound keeps the join
+    from degenerating into per-user cross products, and the same shape
+    runs streaming as a watermarked interval join."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc_nulls_last(), F.col("view_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("view_id").alias("attributed_view_id"),
+            bq.timestamp_diff(F.col("p_ts"), F.col("v_ts"), "SECOND").alias(
+                "gap_s"
+            ),
+        )
     )

@@ -542,3 +542,76 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+_TRIANGLE_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+    nn AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
+           FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs))
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_edges, n_nodes
+    FROM tri, ne, nn
+    """
+
+
+@q("graph_triangles", _TRIANGLE_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-purchase graph (parts
+    sharing an order are linked — the market-basket projection): the
+    clustering-coefficient numerator and the third iterative-graph member
+    next to CC and PageRank. Each triangle u<v<w is counted exactly once
+    by joining canonically-oriented edges (wedge at the smallest vertex,
+    then the closing edge) — two equi-joins on the edge relation, never an
+    all-pairs product.
+
+    Scale: edge generation is a per-order self-join (baskets are small, so
+    it is bounded per key); the wedge join's cost concentrates on
+    high-degree vertices — at skewed scale the standard upgrade is
+    degree-ordering the orientation (wedge at the LOWEST-degree vertex)
+    which this id-ordering approximates; the joins themselves co-partition
+    on the wedge vertex."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    pairs = scoped_persist(pairs, "tri.pairs", eager=True)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nn = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+    )
+    return tri.crossJoin(ne).crossJoin(nn)
