@@ -177,6 +177,7 @@ _PRIORITY = [
     "graph_triangles",
     "a_mad_outliers",
     "a_attribution_last_touch",
+    "source_json_corrupt_records",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -145,3 +145,71 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "spark_graft_formats", "orc")
     agg.write.mode("overwrite").orc(path)
     return spark.read.schema(_FMT_SCHEMA).orc(path)
+
+
+@q(
+    "source_json_corrupt_records",
+    """
+    WITH lines AS (
+      SELECT doc_id,
+             (doc_id % 13 = 4) AS is_corrupt
+      FROM documents
+    )
+    SELECT
+      CAST((SELECT count(*) FROM lines WHERE NOT is_corrupt) AS BIGINT) AS n_good,
+      CAST((SELECT count(*) FROM lines WHERE is_corrupt) AS BIGINT) AS n_corrupt,
+      CAST((SELECT COALESCE(sum(doc_id), 0) FROM lines WHERE NOT is_corrupt) AS BIGINT) AS good_id_sum,
+      CAST((SELECT COALESCE(sum(doc_id), 0) FROM lines WHERE is_corrupt) AS BIGINT) AS corrupt_id_sum
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on JSONL ingestion — the robustness
+    contract a 100 TB crawl ingest lives by: PERMISSIVE mode parses every
+    well-formed line and lands each malformed one in ``_corrupt_record``
+    (payload preserved for quarantine/replay) instead of failing the job
+    or silently dropping rows. Lines are generated deterministically from
+    ``documents`` (every doc_id % 13 == 4 line gets truncated into invalid
+    JSON mid-object), written as text, then read back with an explicit
+    schema + corrupt-record column; the entry reconciles both populations
+    by id (corrupt ids are recovered by regexp from the preserved raw
+    payload), so the oracle — which recomputes the same split from the
+    generation rule — verifies that not one row was lost OR misclassified
+    in either direction. DROPMALFORMED/FAILFAST are the same reader one
+    option away; PERMISSIVE-with-quarantine is the production default."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    corrupt = F.col("doc_id") % 13 == 4
+    line = F.when(
+        corrupt,
+        # truncated mid-object: unparseable, but the id survives for audit
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": "')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang")))
+    tmp = tempfile.mkdtemp(prefix="json_corrupt_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(tmp + "/lines")
+    parsed = (
+        spark.read.schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp + "/lines")
+    )
+    # Spark refuses plans that filter on only the internal corrupt-record
+    # column of a live JSON scan — the documented contract is to cache the
+    # parsed result first (which the quarantine pattern wants anyway: one
+    # parse feeding both the good and quarantined branches)
+    parsed = scoped_persist(parsed, "formats.corrupt.parsed", eager=True)
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.regexp_extract(F.col("_corrupt_record"), r'"doc_id": (\d+)', 1)
+        .cast("long")
+        .alias("bad_id")
+    )
+    g = good.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("good_id_sum"),
+    )
+    b = bad.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corrupt"),
+        F.coalesce(F.sum("bad_id"), F.lit(0)).cast("long").alias("corrupt_id_sum"),
+    )
+    return g.crossJoin(b).select("n_good", "n_corrupt", "good_id_sum", "corrupt_id_sum")
