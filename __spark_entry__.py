@@ -178,6 +178,9 @@ _PRIORITY = [
     "a_mad_outliers",
     "a_attribution_last_touch",
     "source_json_corrupt_records",
+    "a_running_distinct_users",
+    "graph_clustering_coeff",
+    "j_asof_tolerance",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

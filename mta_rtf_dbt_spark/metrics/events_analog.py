@@ -1116,3 +1116,60 @@ def a_attribution_last_touch(spark, sf_dir):
             ),
         )
     )
+
+
+@q(
+    "a_running_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY 1
+    ),
+    daily_new AS (
+      SELECT first_day AS d, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1
+    ),
+    daily_active AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM events GROUP BY 1
+    )
+    SELECT a.d, a.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_distinct_users
+    FROM daily_active a LEFT JOIN daily_new n USING (d)
+    """,
+)
+def a_running_distinct_users(spark, sf_dir):
+    """Running COUNT(DISTINCT) over time — the growth-curve metric naive
+    windowing cannot express (COUNT(DISTINCT) OVER a running frame is
+    either unsupported or quadratic). The standard exact decomposition:
+    each user collapses to their FIRST-seen day (one map-combined min),
+    daily new-user counts ride that, and the cumulative sum over the
+    day-level series IS the running distinct count. Per-day active
+    distinct counts come along for the DAU-vs-cumulative chart.
+
+    Scale: two corpus aggregates (min per user, distinct per day) and a
+    window over DAY-count rows (metadata-sized) — the quadratic re-count
+    over growing prefixes never happens."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    daily_new = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    daily_active = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(daily_new, "d", "left")
+        .select(
+            "d",
+            "active_users",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_distinct_users",
+            F.sum("new_users").over(w).cast("long"),
+        )
+    )

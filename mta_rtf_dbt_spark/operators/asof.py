@@ -139,3 +139,63 @@ def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
         tiebreak="o_orderkey",
     )
+
+
+_ASOF_TOL_SQL = """
+WITH matched AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         o.o_orderkey, o.o_orderdate, o.o_totalprice
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  QUALIFY row_number() OVER (
+    PARTITION BY e.event_id
+    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+  ) = 1
+)
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN o_orderdate < ts - INTERVAL 30 DAY THEN NULL ELSE o_orderkey END AS o_orderkey,
+       CASE WHEN o_orderdate < ts - INTERVAL 30 DAY THEN NULL ELSE o_orderdate END AS o_orderdate,
+       CASE WHEN o_orderdate < ts - INTERVAL 30 DAY THEN NULL ELSE o_totalprice END AS o_totalprice,
+       (o_orderdate IS NOT NULL AND o_orderdate < ts - INTERVAL 30 DAY) AS stale_voided
+FROM matched
+"""
+
+
+@q("j_asof_tolerance", _ASOF_TOL_SQL)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance=``): the latest prior order still attaches, but when it is
+    older than 30 days at event time the payload is voided to NULL and
+    flagged — point-in-time enrichment where an outdated snapshot is worse
+    than none (feature stores, risk lookups). The tolerance is a post-fill
+    projection over the same linear union-sort-fill plan: zero extra
+    shuffle versus the plain as-of join, and distinct from filtering the
+    right side first (which would wrongly promote an even older row)."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    j = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    stale = F.col("o_orderdate") < F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    void = lambda c: F.when(~stale, F.col(c)).alias(c)  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        void("o_orderkey"),
+        void("o_orderdate"),
+        void("o_totalprice"),
+        (F.col("o_orderdate").isNotNull() & stale).alias("stale_voided"),
+    )

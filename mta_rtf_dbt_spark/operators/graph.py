@@ -615,3 +615,91 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
     )
     return tri.crossJoin(ne).crossJoin(nn)
+
+
+_CLUSTER_COEFF_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT x AS node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node, d.deg,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """
+
+
+@q("graph_clustering_coeff", _CLUSTER_COEFF_SQL)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph,
+    released as the exact integer fraction (n_triangles, n_wedges =
+    deg·(deg−1)/2) — the consumer divides; nothing floats. Triangles
+    found once by the oriented wedge join are credited to all three
+    vertices via a 3-way explode-and-count — one extra map-combined
+    aggregate on top of graph_triangles' joins."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    pairs = scoped_persist(pairs, "ccoef.pairs", eager=True)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr("CAST(deg * (deg - 1) div 2 AS BIGINT)").alias("n_wedges"),
+    )
