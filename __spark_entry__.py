@@ -181,6 +181,9 @@ _PRIORITY = [
     "a_running_distinct_users",
     "graph_clustering_coeff",
     "j_asof_tolerance",
+    "dq_join_fanout",
+    "a_winsorize_census",
+    "a_label_entropy",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -1173,3 +1173,107 @@ def a_running_distinct_users(spark, sf_dir):
             F.sum("new_users").over(w).cast("long"),
         )
     )
+
+
+@q(
+    "a_winsorize_census",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE e.value < b.p01) AS BIGINT) AS n_clipped_low,
+           CAST(count(*) FILTER (WHERE e.value > b.p99) AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(any_value(b.p01) AS DOUBLE), 6) AS p01,
+           ROUND(CAST(any_value(b.p99) AS DOUBLE), 6) AS p99,
+           CAST(SUM(CAST(round(least(greatest(e.value, b.p01), b.p99) * 1000, 0) AS BIGINT)) AS BIGINT)
+             AS winsorized_sum_milli
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def a_winsorize_census(spark, sf_dir):
+    """Winsorization (clip at p01/p99) with a clipping census — the
+    standard tail-taming preprocessing before training on heavy-tailed
+    features; unlike trimming it keeps the rows, so counts downstream stay
+    intact. Clip bounds are exact percentiles (production: approx per D7)
+    broadcast back over the corpus; the winsorized sum is milli-integerized
+    per value BEFORE summing so the released aggregate is order-free and
+    engine-exact; bounds round to 6dp per the float-output discipline."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.01)).alias("p01"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(F.first("p01"), 6).alias("p01"),
+        F.round(F.first("p99"), 6).alias("p99"),
+        F.sum(F.round(clipped * 1000, 0).cast("long"))
+        .cast("long")
+        .alias("winsorized_sum_milli"),
+    )
+
+
+@q(
+    "a_label_entropy",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT d, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+    SELECT c.d,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(any_value(t.total) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(-1.0 * n * ln(n * 1.0 / t.total) * 1000000.0 / t.total) AS BIGINT)) AS BIGINT)
+             AS entropy_micro_nats
+    FROM c JOIN t USING (d)
+    GROUP BY c.d
+    """,
+)
+def a_label_entropy(spark, sf_dir):
+    """Per-day Shannon entropy of the event-type distribution in
+    micro-nats — the class-balance signal a dataset monitor alarms on (a
+    collapsing entropy means one class is swallowing the stream). Each
+    class's -p·ln(p) term is micro-integerized individually (one ln per
+    class — the float-hash discipline) and the per-day entropy is the
+    order-free bigint sum of class terms; the class relation is
+    (day x class)-sized, so the whole computation after the one corpus
+    aggregate is metadata-scale."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("d").agg(F.sum("n").cast("long").alias("total"))
+    term = (
+        F.round(
+            F.lit(-1.0)
+            * F.col("n")
+            * F.log(F.col("n") / F.col("total"))
+            * 1_000_000.0
+            / F.col("total")
+        )
+        .cast("long")
+    )
+    return (
+        c.join(F.broadcast(t), "d")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.first("total").alias("n_rows"),
+            F.sum(term).cast("long").alias("entropy_micro_nats"),
+        )
+    )

@@ -206,3 +206,59 @@ def dq_schema_contract(spark, sf_dir):
     return schema_contract_report(
         spark, load(spark, sf_dir, "documents"), DOCS_CONTRACT
     )
+
+
+@q(
+    "dq_join_fanout",
+    """
+    WITH dim AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0
+    ),
+    j AS (
+      SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS fan
+      FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_joined,
+           CAST(count(*) FILTER (WHERE fan > 1) AS BIGINT) AS n_orders_fanned,
+           CAST(max(fan) AS BIGINT) AS max_fanout,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 997 = 0)
+             AS n_dup_dim_keys
+    FROM j
+    """,
+)
+def dq_join_fanout(spark, sf_dir):
+    """Join-fanout contract check — the DQ rule that catches the silent
+    row-multiplication bug: a fact->dim join declared N:1 quietly becomes
+    N:M when the dim grows duplicate keys (a bad SCD load, a missed dedup),
+    and every downstream SUM double-counts. The check measures per-fact-row
+    match counts and reports the violation census (rows fanned, worst
+    fanout, duplicated dim keys). Here the violation is PLANTED — dim keys
+    c_custkey % 997 == 0 are duplicated — so the detector is verified to
+    fire with exactly the expected magnitude, not just to stay quiet on
+    clean data.
+
+    Scale: the fanout census is the join itself plus one map-combined
+    count per fact key — run it as a pre-flight on a sample or as a
+    post-join assertion; either way no new shuffle shape."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    dim = cust.unionAll(cust.filter(F.col("c_custkey") % 997 == 0))
+    fan = (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("fan"))
+    )
+    report = fan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_joined"),
+        F.sum(F.when(F.col("fan") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_orders_fanned"),
+        F.max("fan").cast("long").alias("max_fanout"),
+    )
+    dups = cust.filter(F.col("c_custkey") % 997 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_dim_keys")
+    )
+    return report.crossJoin(dups)
