@@ -46,6 +46,7 @@ def _registries():
         "mta_rtf_dbt_spark.operators.layout",
         "mta_rtf_dbt_spark.operators.scale",
         "mta_rtf_dbt_spark.operators.privacy",
+        "mta_rtf_dbt_spark.operators.geo",
     ]
     out = []
     for m in mods:
@@ -184,6 +185,8 @@ _PRIORITY = [
     "dq_join_fanout",
     "a_winsorize_census",
     "a_label_entropy",
+    "geo_nearest_stop",
+    "geo_geohash_stops",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

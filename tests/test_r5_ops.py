@@ -197,3 +197,36 @@ def test_stream_agg_maintenance_multibatch_and_replay(spark, tmp_path):
         ).collect()
     }
     assert again == exp
+
+
+def test_geohash_matches_published_algorithm(spark):
+    """Anchor check against the standard geohash: NYC-area coordinates
+    encode with the well-known 'dr5' prefix, and co-located platform
+    records share identical hashes."""
+    from mta_rtf_dbt_spark.operators.geo import geo_geohash_stops
+
+    rows = geo_geohash_stops(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["geohash8"].startswith("dr5"), r
+    by_coord: dict[tuple, set] = {}
+    for r in rows:
+        by_coord.setdefault((r["stop_lat"], r["stop_lon"]), set()).add(r["geohash8"])
+    assert all(len(s) == 1 for s in by_coord.values())
+
+
+def test_nearest_stop_distances(spark):
+    """Every stop gets a neighbor, distances are non-negative, co-located
+    platform families (N/S/parent share coordinates) pair at distance 0,
+    and a neighbor's own nearest distance never exceeds the distance of
+    the pair that nominated it (min property)."""
+    from mta_rtf_dbt_spark.operators.geo import geo_nearest_stop
+
+    rows = {r["stop_id"]: r for r in geo_nearest_stop(spark, SF).collect()}
+    assert rows
+    assert any(r["d2_micro2"] == 0 for r in rows.values())
+    for r in rows.values():
+        assert r["d2_micro2"] >= 0
+        other = rows.get(r["nearest_stop_id"])
+        assert other is not None
+        assert other["d2_micro2"] <= r["d2_micro2"]
