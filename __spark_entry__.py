@@ -187,6 +187,8 @@ _PRIORITY = [
     "a_label_entropy",
     "geo_nearest_stop",
     "geo_geohash_stops",
+    "a_ewma_smoothed",
+    "a_market_basket_rules",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

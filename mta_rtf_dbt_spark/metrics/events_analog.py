@@ -1277,3 +1277,141 @@ def a_label_entropy(spark, sf_dir):
             F.sum(term).cast("long").alias("entropy_micro_nats"),
         )
     )
+
+
+# normalized 0.75-decay FIR weights in milli units (sum exactly 1000);
+# precomputed so the smoother is pure integer arithmetic in both engines
+_EWMA_W = [279, 208, 156, 117, 88, 66, 49, 37]
+
+
+@q(
+    "a_ewma_smoothed",
+    f"""
+    WITH mins AS (
+      SELECT event_type, date_trunc('minute', ts) AS ts_minute,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, ts_minute, n_events,
+             {", ".join(f"lag(n_events, {k}) OVER w AS l{k}" for k in range(1, 8))},
+             row_number() OVER w AS rn
+      FROM mins
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_minute)
+    )
+    SELECT event_type, ts_minute, n_events,
+           CASE WHEN rn >= 8 THEN
+             CAST({" + ".join(f"l{k} * {w}" if k else f"n_events * {w}" for k, w in enumerate(_EWMA_W))} AS BIGINT)
+           END AS ewma_milli
+    FROM lagged
+    """,
+)
+def a_ewma_smoothed(spark, sf_dir):
+    """Exponentially-weighted smoothing of the per-minute count series as a
+    FIXED 8-tap FIR filter: the 0.75-decay weights are precomputed,
+    normalized integer millis (summing exactly 1000), so the smoothed
+    value is a pure integer dot product over the lag window — the
+    recurrence form of EWMA is unbounded history and float feedback,
+    useless for distributed replay; the truncated-FIR form is what a
+    backfill-safe pipeline actually ships (warmup rows, lacking 8
+    observations, stay NULL). Per-series windows parallelize across
+    series, same layout as the rolling z-score."""
+    e = load(spark, sf_dir, "events")
+    mins = e.groupBy(
+        "event_type", bq.timestamp_trunc(F.col("ts"), "minute").alias("ts_minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("ts_minute")
+    lagged = mins.select(
+        "event_type",
+        "ts_minute",
+        "n_events",
+        *[F.lag("n_events", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+        F.row_number().over(w).alias("rn"),
+    )
+    dot = sum(
+        (F.col(f"l{k}") if k else F.col("n_events")) * w_
+        for k, w_ in enumerate(_EWMA_W)
+    )
+    return lagged.select(
+        "event_type",
+        "ts_minute",
+        "n_events",
+        F.when(F.col("rn") >= 8, dot).cast("long").alias("ewma_milli"),
+    )
+
+
+@q(
+    "a_market_basket_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n
+      FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS ant, b.l_partkey AS cons, CAST(count(*) AS BIGINT) AS pair_n
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.ant, p.cons, p.pair_n,
+           CAST(p.pair_n * 1000000 // ia.item_n AS BIGINT) AS confidence_ppm,
+           CAST(p.pair_n * n.n_baskets * 1000000 // (ia.item_n * ic.item_n) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ant
+    JOIN item ic ON ic.l_partkey = p.cons
+    CROSS JOIN n
+    WHERE p.pair_n >= 3
+    """,
+)
+def a_market_basket_rules(spark, sf_dir):
+    """Association rules over order baskets (ant -> cons for parts bought
+    together): support, confidence = P(cons|ant), and lift =
+    P(ant,cons)/(P(ant)P(cons)), all as integer ppm via a shared
+    cross-multiplied form — the co-occurrence recommendation baseline.
+    Pairs come from the per-basket self-join (baskets are small, so the
+    pair relation is bounded per key); the min-support cut (pair_n >= 3)
+    is the standard Apriori pruning that keeps the rule set
+    signal-bearing and the output bounded.
+
+    Scale: distinct-ify first (multi-line items collapse), one
+    basket-keyed self-join, two map-combined aggregates, broadcast item
+    counts onto the pair relation. lift's product term
+    n_baskets*pair_n*1e6 stays under 2^63 for corpora to ~10^9 baskets at
+    these support floors."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_b = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("item_n"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ant"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ant"), F.col("item_n").alias("ant_n"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("item_n").alias("cons_n"))
+    return (
+        pair.join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ant",
+            "cons",
+            "pair_n",
+            F.expr("CAST(pair_n * 1000000 div ant_n AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                f"CAST(pair_n * {n_b}L * 1000000 div (ant_n * cons_n) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
