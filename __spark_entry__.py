@@ -189,6 +189,7 @@ _PRIORITY = [
     "geo_geohash_stops",
     "a_ewma_smoothed",
     "a_market_basket_rules",
+    "text_phrase_search",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.session import pin_session
-from mta_rtf_dbt_spark.sources.registry import load, spread
+from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -358,3 +358,67 @@ def text_compression_ratio(spark, sf_dir):
     python-recomputed in tests (driver check is rows-only — DuckDB has no
     zlib)."""
     return compression_ratios(load(spark, sf_dir, "documents"))
+
+
+PHRASE = ["order", "sort", "table"]
+_PHRASE_LIST = ", ".join(f"'{t}'" for t in PHRASE)
+
+
+@q(
+    "text_phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS token,
+             unnest(range(1, len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) + 1)) AS pos
+      FROM documents
+    ),
+    p AS (SELECT doc_id, token, CAST(pos AS BIGINT) AS pos FROM toks
+          WHERE token IN ({_PHRASE_LIST})),
+    hits AS (
+      SELECT t0.doc_id, t0.pos AS start_pos
+      FROM p t0
+      JOIN p t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.token = '{PHRASE[1]}'
+      JOIN p t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2 AND t2.token = '{PHRASE[2]}'
+      WHERE t0.token = '{PHRASE[0]}'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(start_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact PHRASE search via a position-aware inverted index — the
+    primitive BM25's bag-of-words scoring cannot express ('order sort
+    table' as consecutive tokens, not three scattered terms). Posting
+    lists carry (doc_id, token, position); a phrase match is the
+    positional self-join t1.pos = t0.pos+1, t2.pos = t0.pos+2 — joins on
+    (doc, position), never a scan of document text at query time.
+
+    Scale: the index is built once (posexplode — one shuffle on the token
+    key); query-time cost is proportional to the PHRASE TERMS' posting
+    lists only (the WHERE prunes the index scan to three terms before any
+    join), which is why search engines store positions in the postings."""
+    docs = load(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id",
+        F.posexplode(T.tokens(T.normalize(F.col("text")))).alias("pos0", "token"),
+    )
+    p = toks.filter(F.col("token").isin(*PHRASE)).select(
+        "doc_id", "token", (F.col("pos0") + 1).cast("long").alias("pos")
+    )
+    p = scoped_persist(p, "phrase.postings", eager=True)
+    t0 = p.filter(F.col("token") == PHRASE[0]).select("doc_id", F.col("pos").alias("p0"))
+    t1 = p.filter(F.col("token") == PHRASE[1]).select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1")
+    )
+    t2 = p.filter(F.col("token") == PHRASE[2]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = t0.join(
+        t1, (F.col("d1") == F.col("doc_id")) & (F.col("p1") == F.col("p0") + 1)
+    ).join(t2, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("p0") + 2))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
