@@ -1415,3 +1415,67 @@ def a_market_basket_rules(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+@q(
+    "a_concurrency_sweepline",
+    """
+    WITH deltas AS (
+      SELECT CAST(ts AS DATE) AS d, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE) AS d, ts + INTERVAL 5 MINUTE AS t, -1 AS delta, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT d, t,
+             CAST(SUM(delta) OVER (PARTITION BY d ORDER BY t, delta, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+      FROM deltas
+    )
+    SELECT d, CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+           min(t) FILTER (WHERE concurrent = peak) AS peak_first_at
+    FROM (SELECT *, max(concurrent) OVER (PARTITION BY d) AS peak FROM swept)
+    GROUP BY d
+    """,
+)
+def a_concurrency_sweepline(spark, sf_dir):
+    """Peak concurrency by sweep-line: every event opens a 5-minute session
+    interval; +1/-1 boundary deltas sorted in time with a running sum give
+    the exact concurrent-session count at every boundary, and the per-day
+    max is the capacity-planning number (with the first instant it was
+    reached). Interval-overlap counting WITHOUT an interval self-join —
+    the self-join form is O(n * overlap) and quadratic on busy days; the
+    sweep is one sort per partition. Tie order at identical timestamps is
+    pinned (ends before starts via delta, then event_id), so the running
+    sum — and therefore the peak — is engine-deterministic.
+
+    Scale: the sweep partitions by DAY under the attribute-to-start-day
+    convention (an interval's -1 lands in the same partition as its +1,
+    keeping every day's ledger balanced even when a session spills past
+    midnight), so each day's sort is independent and parallel; the
+    general cross-boundary form carries per-partition boundary state."""
+    e = load(spark, sf_dir, "events")
+    start = e.select(
+        F.to_date("ts").alias("d"), F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    end = e.select(
+        F.to_date("ts").alias("d"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = start.unionAll(end)
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = deltas.withColumn("concurrent", F.sum("delta").over(w).cast("long"))
+    wd = Window.partitionBy("d")
+    peaked = swept.withColumn("peak", F.max("concurrent").over(wd))
+    return peaked.groupBy("d").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent"),
+        F.min(F.when(F.col("concurrent") == F.col("peak"), F.col("t"))).alias(
+            "peak_first_at"
+        ),
+    )
