@@ -85,6 +85,9 @@ _PRIORITY = [
     "a_histogram_values",
     "dedup_simhash",
     "corpus_curation_funnel",
+    # w5: RANGE frame re-ordered on epoch micros (the sf0.1 sweep caught a
+    # sub-second frame-boundary divergence under second-granularity order)
+    "w5_range_interval_frame",
     # -- new this round (second wave, headliners): erasure cascade,
     #    aggregate retraction, insert_overwrite materialization, left-outer
     #    stream-stream join (watermark-closed-horizon oracle) --
@@ -284,7 +287,6 @@ _PRIORITY = [
     # -- green in the r3 window --
     "m3_analog_service_delivered",
     "m11_analog_latency",
-    "w5_range_interval_frame",
     "corpus_ngram_counts",
     "lm_unigram_scores",
     "text_winnow_fingerprints",

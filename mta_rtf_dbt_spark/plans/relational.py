@@ -1260,14 +1260,17 @@ def w5_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval RANGE frame (trailing 1 hour per user) plus a ROWS
     BETWEEN 2 PRECEDING frame in the same pass (absorbs the former
     w_rolling_frame entry). Spark expresses interval ranges by ordering on
-    the epoch and bounding in seconds — identical frame membership to the
-    SQL interval form; RANGE sums are integer millis so frame-order float
-    effects can't exist, and the ROWS sum adds ≤3 doubles in a
-    deterministic order so round(.,6) hash-matches."""
+    the epoch MICROS and bounding in micros — second-granularity
+    (unix_timestamp) ordering silently widens the frame for rows in the
+    sub-second gap just past the boundary, a divergence that first
+    surfaced at sf0.1 density (r5); micros match the SQL interval frame's
+    native timestamp precision exactly. RANGE sums are integer millis so
+    frame-order float effects can't exist, and the ROWS sum adds ≤3
+    doubles in a deterministic order so round(.,6) hash-matches."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts")))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     wr = (
         Window.partitionBy("user_id")

@@ -41,6 +41,12 @@ RUNTIME_CONFS: dict[str, str] = {
 
 # Build-time confs (need to be set before the JVM context exists).
 BUILD_CONFS: dict[str, str] = {
+    # Local mode runs everything in ONE JVM, so spark.driver.memory IS the
+    # executor memory; the 1g default dies on full-registry sf0.1 sweeps
+    # (measured: JVM crash ~160 entries in — accumulated scoped caches +
+    # localCheckpoints). Launch-time only: applies to the first session the
+    # process builds, which get_spark controls in tests/bench.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Arrow for pandas_udf / mapInPandas hot paths (operators/).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 100 TB posture: generous broadcast ceiling for dimension tables; AQE will
