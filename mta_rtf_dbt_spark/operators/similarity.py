@@ -915,3 +915,50 @@ def rag_chunk_retrieval(spark, sf_dir):
     # index it is in production
     vec = scoped_persist(rag_chunk_vectors(docs), "rag.vec", eager=True)
     return rag_retrieve_topk(vec)
+
+
+@q(
+    "embedding_dim_stats",
+    """
+    WITH dims AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v_micro) AS BIGINT) AS sum_micro,
+           CAST(sum(v_micro * v_micro) AS BIGINT) AS sumsq_micro2,
+           CAST(min(v_micro) AS BIGINT) AS min_micro,
+           CAST(max(v_micro) AS BIGINT) AS max_micro
+    FROM dims GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-DIMENSION statistics over the embedding column — the feature
+    profile that catches dead dimensions (zero variance), scale drift
+    between embedding versions, and the per-dim mean/std a standardizing
+    transform needs. Each element is micro-integerized at explode time, so
+    the per-dim sums/sumsqs are order-free bigints (mean = sum/n and
+    var = (n*sumsq - sum^2)/n^2 derive downstream in whatever precision
+    the consumer wants).
+
+    Scale: one posexplode (dim-count x rows — for 768-dim embeddings a
+    768x tall relation, which is why this runs as a PROFILE pass, not per
+    query) and one map-combined aggregate keyed on the dimension index;
+    output is dim-count rows. sumsq magnitude: |v|<=1 -> v_micro^2 <= 1e12,
+    times 10^9 rows stays under 2^63."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_micro").cast("long").alias("sum_micro"),
+        F.sum(F.col("v_micro") * F.col("v_micro")).cast("long").alias("sumsq_micro2"),
+        F.min("v_micro").cast("long").alias("min_micro"),
+        F.max("v_micro").cast("long").alias("max_micro"),
+    )
