@@ -195,6 +195,7 @@ _PRIORITY = [
     "text_phrase_search",
     "a_concurrency_sweepline",
     "embedding_dim_stats",
+    "layout_backfill_plan",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -211,3 +211,58 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("file_id", "size_bytes", "n_rows", "compact_group")
     )
+
+
+@q(
+    "layout_backfill_plan",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    expected AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    ),
+    present AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+      FROM orders
+      WHERE CAST(epoch_us(CAST(o_orderdate AS DATE)) // 86400000000 AS BIGINT) % 13 <> 5
+    )
+    SELECT e.d,
+           (p.d IS NOT NULL) AS present,
+           CASE WHEN p.d IS NULL THEN 'backfill' ELSE 'ok' END AS action
+    FROM expected e LEFT JOIN present p USING (d)
+    """,
+)
+def layout_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner for a date-partitioned table: generate the expected
+    partition spine (min..max order date), compare against the partitions
+    actually present, and emit the work list — the pre-flight every
+    scheduled insert_overwrite pipeline runs to find holes left by failed
+    or skipped runs. 'Present' partitions are simulated with planted gaps
+    (epoch-day % 13 == 5 dropped) so the planner provably finds them; in
+    production the present set comes from the catalog/file listing
+    (metadata, not a data scan). The spine is generated in-plan
+    (sequence + explode — no driver-side date loop), the comparison one
+    broadcast-able join over day-count rows."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    expected = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    present = (
+        orders.select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .filter(F.expr("CAST(unix_micros(CAST(d AS TIMESTAMP)) div 86400000000 AS BIGINT) % 13 != 5"))
+        .withColumn("_p", F.lit(1))
+    )
+    return expected.join(present, "d", "left").select(
+        "d",
+        F.col("_p").isNotNull().alias("present"),
+        F.when(F.col("_p").isNull(), F.lit("backfill")).otherwise(F.lit("ok")).alias("action"),
+    )
