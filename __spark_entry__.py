@@ -196,6 +196,7 @@ _PRIORITY = [
     "a_concurrency_sweepline",
     "embedding_dim_stats",
     "layout_backfill_plan",
+    "mix_temperature_sample",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -371,3 +371,84 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_groups"),
         )
     )
+
+
+_TEMP_ALPHA_MILLI = 700  # alpha = 0.7 — the multinomial temperature exponent
+
+
+_TEMP_SQL = f"""
+WITH sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_docs, n_chars,
+         CAST(ROUND(pow(n_chars, {_TEMP_ALPHA_MILLI / 1000.0}) * 1000000) AS BIGINT) AS w_micro
+  FROM sizes
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total, CAST(MAX(w_micro * 1.0 / n_chars) AS DOUBLE) AS peak
+        FROM weighted),
+rates AS (
+  SELECT source, n_docs, n_chars, w_micro,
+         CAST((w_micro * 1000000) // ((SELECT w_total FROM tot)) AS BIGINT) AS share_ppm,
+         CAST(LEAST((w_micro * 1000000.0 / n_chars)
+                    / (SELECT peak FROM tot) * 1000000, 1000000) AS BIGINT) AS keep_ppm
+  FROM weighted
+)
+SELECT r.source, r.n_docs, r.share_ppm, r.keep_ppm,
+       CAST(count(*) FILTER (WHERE {_lcg_sql("d.doc_id", 1000000, seed=23)} < r.keep_ppm) AS BIGINT) AS n_kept
+FROM rates r JOIN documents d USING (source)
+GROUP BY r.source, r.n_docs, r.share_ppm, r.keep_ppm
+"""
+
+
+@q("mix_temperature_sample", _TEMP_SQL)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the size^alpha multinomial reweigh
+    used for multilingual/multi-domain pretraining mixes, alpha = 0.7):
+    each source's target share is proportional to its byte count raised to
+    alpha — big sources are down-weighted, small ones boosted relative to
+    proportional sampling. The per-DOC realization normalizes each
+    source's per-byte rate by the peak source (which keeps 100%) and
+    admits docs whose LCG ppm bucket falls under the source's keep rate —
+    deterministic membership, verified per source.
+
+    One pow() per SOURCE (not per row), immediately micro-integerized;
+    every per-doc decision is integer. One aggregate over the corpus, one
+    broadcast-size rate table joined back — the mix costs a scan."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    weighted = sizes.withColumn(
+        "w_micro",
+        F.round(F.pow(F.col("n_chars"), F.lit(_TEMP_ALPHA_MILLI / 1000.0)) * 1_000_000)
+        .cast("long"),
+    )
+    tot = weighted.agg(
+        F.sum("w_micro").cast("long").alias("w_total"),
+        F.max(F.col("w_micro") * 1.0 / F.col("n_chars")).alias("peak"),
+    )
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("CAST((w_micro * 1000000) div w_total AS BIGINT)").alias("share_ppm"),
+        F.least(
+            (F.col("w_micro") * 1_000_000.0 / F.col("n_chars"))
+            / F.col("peak")
+            * 1_000_000,
+            F.lit(1_000_000.0),
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    kept = F.when(
+        lcg_bucket(F.col("doc_id"), 1_000_000, seed=23) < F.col("keep_ppm"), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "share_ppm", "keep_ppm")
+        .agg(F.sum(kept).cast("long").alias("n_kept"))
+    )
