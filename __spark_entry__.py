@@ -197,6 +197,7 @@ _PRIORITY = [
     "embedding_dim_stats",
     "layout_backfill_plan",
     "mix_temperature_sample",
+    "ann_hard_negatives",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -962,3 +962,49 @@ def embedding_dim_stats(spark, sf_dir):
         F.min("v_micro").cast("long").alias("min_micro"),
         F.max("v_micro").cast("long").alias("max_micro"),
     )
+
+
+def _ann_hardneg_sql() -> str:
+    return f"""
+WITH {_sigs_sql(PLANES, N_BANDS, where="WHERE label <> 0")},
+{_sigs_sql(PLANES, N_BANDS, where="WHERE label = 0 AND vec_id < 10", prefix="q_")},
+qsig AS (SELECT vec_id AS query_id, band, band_sig FROM q_sigs),
+cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qsig q JOIN sigs c ON q.band = c.band AND q.band_sig = c.band_sig
+  WHERE c.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_COS_SQL}, 6) AS sim
+  FROM cands
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings) q
+    ON q.vec_id = query_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c
+    ON c.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@q("ann_hard_negatives", _ann_hardneg_sql())
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    (label-0 queries), the nearest vectors from OTHER labels — the
+    highest-similarity wrong-class examples that make the most informative
+    negatives (random negatives are trivially separable; mining rate
+    governs contrastive learning quality). Pre-filtering the corpus to the
+    complement label BEFORE banding guarantees every result is a true
+    negative and keeps the probed index small — the same pre-filter
+    discipline as ann_lsh_filtered, with the predicate inverted per anchor
+    class. At scale this runs once per class over the shared signature
+    table (signatures are label-independent; only the banding probe
+    filters), so mining all classes costs one signature build plus one
+    probe per class."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") != 0)
+    anchors = emb.filter((F.col("label") == 0) & (F.col("vec_id") < 10))
+    return ann_lsh_topk(corpus, anchors, k=3)
