@@ -279,3 +279,92 @@ def lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_micro_lp").alias("min_avg_micro_lp"),
         F.max("avg_micro_lp").alias("max_avg_micro_lp"),
     )
+
+
+@q(
+    "lm_vocab_drift_kl",
+    f"""
+    WITH toks AS (SELECT doc_id, {_ARR_SQL} AS arr FROM documents),
+    tok AS (SELECT doc_id % 2 AS slice, unnest(arr) AS token FROM toks),
+    c AS (SELECT slice, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+    v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vsize FROM c),
+    t AS (SELECT slice, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+    grid AS (
+      SELECT token,
+             COALESCE(MAX(CASE WHEN slice = 0 THEN n END), 0) AS n0,
+             COALESCE(MAX(CASE WHEN slice = 1 THEN n END), 0) AS n1
+      FROM c GROUP BY token
+    ),
+    terms AS (
+      SELECT g.token, g.n0, g.n1,
+             CAST(ROUND((g.n0 + 1.0) / (t0.total + v.vsize)
+                  * ln(((g.n0 + 1.0) / (t0.total + v.vsize))
+                       / ((g.n1 + 1.0) / (t1.total + v.vsize))) * 1000000000) AS BIGINT)
+               AS kl_term_nano
+      FROM grid g CROSS JOIN v
+      JOIN t t0 ON t0.slice = 0
+      JOIN t t1 ON t1.slice = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(kl_term_nano) AS BIGINT) AS kl_nano_nats,
+           CAST(count(*) FILTER (WHERE n0 = 0 OR n1 = 0) AS BIGINT) AS n_one_sided
+    FROM terms
+    """,
+)
+def lm_vocab_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary DRIFT between two corpus slices (doc_id parity stands in
+    for yesterday-vs-today): KL(P_slice0 || P_slice1) over add-one-smoothed
+    unigram distributions — the distribution-shift alarm a dataset monitor
+    raises before a model trained on slice 0 meets slice 1. Each term's
+    p*ln(p/q) contribution is nano-integerized individually (one ln per
+    term, the float-hash discipline) and the divergence is the order-free
+    bigint sum; one-sided terms (present in only one slice, where
+    unsmoothed KL diverges) are counted separately as the interpretable
+    drift census.
+
+    Scale: one token explode, one (slice, token) aggregate, a vocabulary-
+    sized pivot and per-term scalar math — everything after the corpus
+    aggregate is vocab-sized (Heaps' law keeps that millions of rows at
+    100 TB)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(T.tokens(T.normalize(F.col("text")))).alias("token"),
+    )
+    c = tok.groupBy("slice", "token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = scoped_persist(c, "drift.counts", eager=True)
+    v = c.agg(F.countDistinct("token").cast("long").alias("vsize"))
+    t = c.groupBy("slice").agg(F.sum("n").cast("long").alias("total"))
+    grid = c.groupBy("token").agg(
+        F.coalesce(F.max(F.when(F.col("slice") == 0, F.col("n"))), F.lit(0)).alias("n0"),
+        F.coalesce(F.max(F.when(F.col("slice") == 1, F.col("n"))), F.lit(0)).alias("n1"),
+    )
+    t0 = t.filter(F.col("slice") == 0).select(F.col("total").alias("total0"))
+    t1 = t.filter(F.col("slice") == 1).select(F.col("total").alias("total1"))
+    terms = (
+        grid.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "n0",
+            "n1",
+            F.round(
+                (F.col("n0") + 1.0)
+                / (F.col("total0") + F.col("vsize"))
+                * F.log(
+                    ((F.col("n0") + 1.0) / (F.col("total0") + F.col("vsize")))
+                    / ((F.col("n1") + 1.0) / (F.col("total1") + F.col("vsize")))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("kl_term_nano"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("kl_term_nano").cast("long").alias("kl_nano_nats"),
+        F.sum(F.when((F.col("n0") == 0) | (F.col("n1") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_one_sided"),
+    )
