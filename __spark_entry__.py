@@ -199,6 +199,7 @@ _PRIORITY = [
     "mix_temperature_sample",
     "ann_hard_negatives",
     "lm_vocab_drift_kl",
+    "text_url_domains",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

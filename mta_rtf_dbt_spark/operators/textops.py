@@ -422,3 +422,69 @@ def text_phrase_search(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("p0").cast("long").alias("first_pos"),
     )
+
+
+@q(
+    "text_url_domains",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://www.site' || CAST(doc_id % 37 AS VARCHAR) || '.example'
+               || CAST(doc_id % 7 AS VARCHAR) || '.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?ref=crawl' AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      FROM urls
+    ),
+    reg AS (
+      SELECT doc_id, host,
+             array_to_string(list_slice(string_split(host, '.'), len(string_split(host, '.')) - 1,
+                                        len(string_split(host, '.'))), '.') AS registered_domain
+      FROM parsed
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM reg GROUP BY registered_domain
+    """,
+)
+def text_url_domains(spark, sf_dir):
+    """Per-domain crawl census — the grouping key behind per-domain rate
+    caps, robots policy, and domain-quota mixing: parse the host out of
+    each page URL (synthesized deterministically from doc fields so both
+    engines see identical URLs) and collapse it to the registered domain
+    (last two labels — the public-suffix-list lookup reduces to this same
+    suffix-join at scale), then census pages/hosts per domain. Host
+    extraction is the one shared regexp (Spark's parse_url(HOST) agrees
+    but has no DuckDB counterpart, so the cross-engine form is the
+    explicit RFC-shaped pattern); domain collapse is pure string/array
+    arithmetic. One projection + one aggregate — a scan-cost op even on a
+    trillion-URL frontier."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl"),
+    )
+    parsed = docs.select(
+        "doc_id", F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1).alias("host")
+    )
+    parts = F.split(F.col("host"), r"\.")
+    reg = parsed.select(
+        "doc_id",
+        "host",
+        F.array_join(F.slice(parts, -2, 2), ".").alias("registered_domain"),
+    )
+    return reg.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.min("doc_id").cast("long").alias("first_doc_id"),
+    )
