@@ -1479,3 +1479,48 @@ def a_concurrency_sweepline(spark, sf_dir):
             "peak_first_at"
         ),
     )
+
+
+@q(
+    "a_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outs AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n * 1000000 // o.out_n AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN outs o USING (from_type)
+    """,
+)
+def a_event_transitions(spark, sf_dir):
+    """First-order transition matrix over per-user event sequences — the
+    Markov flow behind sankey/journey diagrams and the baseline for
+    next-event prediction: consecutive-event pairs per user (one LAG over
+    the per-user time order) counted into (from, to) cells with row-
+    normalized probabilities in integer ppm. The per-user window
+    parallelizes across users; the matrix is |event_types|^2-sized output
+    from one corpus pass."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    pairs = seq.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outs = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("out_n"))
+    return pairs.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST(n * 1000000 div out_n AS BIGINT)").alias("prob_ppm"),
+    )
