@@ -201,6 +201,7 @@ _PRIORITY = [
     "lm_vocab_drift_kl",
     "text_url_domains",
     "a_event_transitions",
+    "a_conversion_wilson",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

@@ -1524,3 +1524,60 @@ def a_event_transitions(spark, sf_dir):
         "n",
         F.expr("CAST(n * 1000000 div out_n AS BIGINT)").alias("prob_ppm"),
     )
+
+
+@q(
+    "a_conversion_wilson",
+    """
+    WITH peru AS (
+      SELECT CAST(ts AS DATE) AS d, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM peru GROUP BY 1
+    )
+    SELECT d, n_users, n_converted,
+           CAST(n_converted * 1000000 // n_users AS BIGINT) AS rate_ppm,
+           ROUND((n_converted * 1.0 / n_users + 1.9208 / n_users
+                  - 1.96 * sqrt((n_converted * 1.0 / n_users) * (1 - n_converted * 1.0 / n_users) / n_users
+                                + 0.9604 / (n_users * n_users)))
+                 / (1 + 3.8416 / n_users), 6) AS wilson_lower
+    FROM daily
+    """,
+)
+def a_conversion_wilson(spark, sf_dir):
+    """Daily conversion rate with the Wilson-score LOWER bound (z=1.96) —
+    the sample-size-aware ranking statistic that stops a 1-of-1 day from
+    outranking a 900-of-1000 day (raw rates can't tell confidence from
+    luck; the Wilson bound is the standard fix for sorting by proportion).
+    Conversion is per-USER (any purchase that day), so repeat purchases
+    don't inflate the rate. The bound's sqrt is computed from identical
+    double expressions in both engines and rounded once to 6dp (the
+    float-output discipline); the raw rate ships as exact integer ppm
+    alongside."""
+    e = load(spark, sf_dir, "events")
+    peru = e.groupBy(F.to_date("ts").alias("d"), "user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    daily = peru.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    p = F.col("n_converted") * 1.0 / F.col("n_users")
+    n = F.col("n_users")
+    wilson = (
+        (p + 1.9208 / n - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+        / (1 + 3.8416 / n)
+    )
+    return daily.select(
+        "d",
+        "n_users",
+        "n_converted",
+        F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias("rate_ppm"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
