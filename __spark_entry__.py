@@ -202,6 +202,7 @@ _PRIORITY = [
     "text_url_domains",
     "a_event_transitions",
     "a_conversion_wilson",
+    "a_benford_digits",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

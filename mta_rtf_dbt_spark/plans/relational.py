@@ -1537,3 +1537,70 @@ def f_map_construct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
     )
     return as_map.select("user_id", F.explode("m").alias("event_type", "cnt"))
+
+
+# Benford expected first-digit frequencies, ppm (round(log10(1+1/d)*1e6)).
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM, start=1)
+)
+
+
+@q(
+    "a_benford_digits",
+    f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      -- divisor must be BIGINT: DuckDB's // is floor division only for
+      -- integer operands (a DOUBLE divisor silently switches to true division)
+      SELECT c // CAST(power(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS d
+      FROM cents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
+    SELECT CAST(d AS BIGINT) AS first_digit,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS observed_ppm,
+           CAST(CASE CAST(d AS BIGINT) {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot)
+                - CASE CAST(d AS BIGINT) {_BENFORD_CASE} END AS BIGINT) AS deviation_ppm
+    FROM digits GROUP BY d
+    """,
+)
+def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit census over order totals — the
+    forensic-accounting screen for fabricated numbers (organic financial
+    amounts follow log-uniform leading digits; fabricated ones cluster).
+    The first digit is extracted by pure integer arithmetic (cents div
+    10^(digits-1), with the digit count from the integer's string length —
+    no log10 float at row level); observed shares and the published
+    Benford expectations are both integer ppm, so the deviation column is
+    exact. One projection + one 9-row aggregate: a scan-cost audit."""
+    cents = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
+    )
+    digits = cents.select(
+        F.expr("c div CAST(power(10, length(CAST(c AS STRING)) - 1) AS BIGINT)").alias(
+            "d"
+        )
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    expected = F.expr(f"CAST(CASE first_digit {_BENFORD_CASE} END AS BIGINT)")
+    return (
+        digits.groupBy(F.col("d").cast("long").alias("first_digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n_values",
+            F.expr("CAST(n_values * 1000000 div n AS BIGINT)").alias("observed_ppm"),
+            expected.alias("benford_ppm"),
+            (
+                F.expr("CAST(n_values * 1000000 div n AS BIGINT)") - expected
+            ).alias("deviation_ppm"),
+        )
+    )
