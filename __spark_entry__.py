@@ -203,6 +203,7 @@ _PRIORITY = [
     "a_event_transitions",
     "a_conversion_wilson",
     "a_benford_digits",
+    "m_feed_gap_detection",
     # -- round-1-green only, past r4's check cutoff (stalest first;
     #    r4 verdict item 5) --
     "j4_dim_double_alias_star",

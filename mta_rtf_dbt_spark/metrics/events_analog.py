@@ -1581,3 +1581,56 @@ def a_conversion_wilson(spark, sf_dir):
         F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias("rate_ppm"),
         F.round(wilson, 6).alias("wilson_lower"),
     )
+
+
+@q(
+    "m_feed_gap_detection",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+             CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_s
+      FROM seq
+      WHERE prev_ts IS NOT NULL AND ts - prev_ts > INTERVAL 30 MINUTE
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap_s) AS BIGINT) AS worst_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+           min(gap_start) AS first_gap_start
+    FROM gaps GROUP BY event_type
+    """,
+)
+def m_feed_gap_detection(spark, sf_dir):
+    """Feed-outage detection — the health check a GTFS-realtime consumer
+    runs on its own ingest (the reference's snapshots arrive continuously;
+    a silent feed gap corrupts every downstream headway/completeness
+    metric before anyone notices the pipeline is 'green'). Per-series LAG
+    over the event-time order flags inter-arrival gaps beyond the
+    30-minute outage threshold and summarizes count / worst / total
+    outage seconds per series with the first outage onset. Gap seconds
+    use the engine's truncate-toward-zero diff discipline; per-series
+    windows parallelize across series."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    gaps = seq.select(
+        "event_type",
+        F.col("prev_ts").alias("gap_start"),
+        bq.timestamp_diff(F.col("ts"), F.col("prev_ts"), "SECOND").alias("gap_s"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("worst_gap_s"),
+        F.sum("gap_s").cast("long").alias("total_gap_s"),
+        F.min("gap_start").alias("first_gap_start"),
+    )
