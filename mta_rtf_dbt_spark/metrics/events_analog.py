@@ -1007,7 +1007,10 @@ def j_temporal_scd2_lookup(spark, sf_dir):
            ROUND(CAST(any_value(d.med) AS DOUBLE), 6) AS median_value,
            ROUND(CAST(any_value(m.mad) AS DOUBLE), 6) AS mad_value,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT) AS n_outliers
+           CAST(count(*) FILTER (
+               WHERE CAST(ROUND(d.ad * 1000000) AS BIGINT)
+                     > 3 * CAST(ROUND(m.mad * 1000000) AS BIGINT)
+           ) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
     """,
@@ -1017,10 +1020,12 @@ def a_mad_outliers(spark, sf_dir):
     deviation) and the count of values beyond 3 MADs — the
     mean/stddev-free profile that heavy tails can't poison (the rolling
     z-score entry's batch-robust sibling). Two exact-percentile passes
-    (production swaps percentile_approx per D7); the 3-MAD comparison runs
-    on identically-derived doubles in both engines, so the census is
-    deterministic, and the released median/MAD round to 6dp per the
-    float-output discipline."""
+    (production swaps percentile_approx per D7); the 3-MAD comparison
+    micro-integerizes both sides (round(x*1e6) to BIGINT) before comparing
+    — Spark F.percentile and DuckDB quantile_cont interpolate
+    independently, and a raw double compare would let a 1-ulp difference
+    flip a boundary row's outlier flag (r5 ADVICE). The released
+    median/MAD round to 6dp per the float-output discipline."""
     e = load(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
         F.percentile(F.col("value"), F.lit(0.5)).alias("med")
@@ -1043,7 +1048,11 @@ def a_mad_outliers(spark, sf_dir):
             F.round(F.first("mad"), 6).alias("mad_value"),
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(
-                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(
+                    F.round(F.col("ad") * 1_000_000).cast("long")
+                    > 3 * F.round(F.col("mad") * 1_000_000).cast("long"),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),

@@ -4,11 +4,17 @@ needs (stop clustering, station catchment, map-tile keys) built on the same
 integer-exact discipline as the rest of the engine.
 
 Coordinates are micro-degree integers (round(deg*1e6)) before ANY
-arithmetic. One portability trap drives the layout here: integer division
-on NEGATIVES — Spark ``div`` truncates toward zero while DuckDB ``//``
-floors, so western longitudes would land in different grid cells. Every
-div runs on SHIFTED-POSITIVE values (lat+90°, lon+180°), where the two
-semantics agree.
+arithmetic. Engine portability: for INTEGER operands both Spark ``div``
+and DuckDB ``//`` truncate toward zero (verified: ``-1140//1000 = -1`` in
+DuckDB — it floors only for doubles), so signed integer division is
+engine-exact as-is. Grid-cell keys still run on SHIFTED-POSITIVE values
+(lat+90°, lon+180°) — not for engine agreement but because
+truncation-toward-zero would make the cell straddling 0 twice as wide as
+every other cell (both -999..-1 and 0..999 map to cell 0), breaking the
+"cell size >= radius" guarantee the 3x3 neighborhood probe relies on. The
+``dlon_scaled`` distance term deliberately divides a SIGNED difference:
+both engines truncate it identically, and it is squared immediately after,
+so the sign of the truncation bias cancels out of the ranking.
 
 Scale: nearest-neighbor is a GRID join — each point joins only its 3x3
 cell neighborhood (cell size >= the search radius), never all pairs; the

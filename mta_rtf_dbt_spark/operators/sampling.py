@@ -387,14 +387,19 @@ weighted AS (
          CAST(ROUND(pow(n_chars, {_TEMP_ALPHA_MILLI / 1000.0}) * 1000000) AS BIGINT) AS w_micro
   FROM sizes
 ),
-tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total, CAST(MAX(w_micro * 1.0 / n_chars) AS DOUBLE) AS peak
-        FROM weighted),
+scaled AS (
+  SELECT source, n_docs, n_chars, w_micro,
+         CAST((w_micro * 1000000) // n_chars AS BIGINT) AS rate_scaled
+  FROM weighted
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total,
+               CAST(MAX(rate_scaled) AS BIGINT) AS peak
+        FROM scaled),
 rates AS (
   SELECT source, n_docs, n_chars, w_micro,
          CAST((w_micro * 1000000) // ((SELECT w_total FROM tot)) AS BIGINT) AS share_ppm,
-         CAST(LEAST((w_micro * 1000000.0 / n_chars)
-                    / (SELECT peak FROM tot) * 1000000, 1000000) AS BIGINT) AS keep_ppm
-  FROM weighted
+         CAST(LEAST((rate_scaled * 1000000) // ((SELECT peak FROM tot)), 1000000) AS BIGINT) AS keep_ppm
+  FROM scaled
 )
 SELECT r.source, r.n_docs, r.share_ppm, r.keep_ppm,
        CAST(count(*) FILTER (WHERE {_lcg_sql("d.doc_id", 1000000, seed=23)} < r.keep_ppm) AS BIGINT) AS n_kept
@@ -415,8 +420,15 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic membership, verified per source.
 
     One pow() per SOURCE (not per row), immediately micro-integerized;
-    every per-doc decision is integer. One aggregate over the corpus, one
-    broadcast-size rate table joined back — the mix costs a scan."""
+    from there EVERY step is 64-bit integer arithmetic — rate_scaled =
+    w_micro*1e6 div n_chars, keep_ppm = rate_scaled*1e6 div peak — so
+    Spark and DuckDB agree bit-for-bit (a double rate/peak division here
+    would hit DuckDB's round-to-nearest CAST vs Spark's truncating cast on
+    fractional keep rates; r5 ADVICE found the prior version's peak was
+    computed at 1x scale vs the 1e6x numerator, saturating every source at
+    keep_ppm=1e6 and silently disabling the subsample). One aggregate over
+    the corpus, one broadcast-size rate table joined back — the mix costs
+    a scan."""
     docs = load(spark, sf_dir, "documents")
     sizes = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -427,22 +439,20 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("n_chars"), F.lit(_TEMP_ALPHA_MILLI / 1000.0)) * 1_000_000)
         .cast("long"),
     )
-    tot = weighted.agg(
-        F.sum("w_micro").cast("long").alias("w_total"),
-        F.max(F.col("w_micro") * 1.0 / F.col("n_chars")).alias("peak"),
+    scaled = weighted.withColumn(
+        "rate_scaled", F.expr("CAST((w_micro * 1000000) div n_chars AS BIGINT)")
     )
-    rates = weighted.crossJoin(F.broadcast(tot)).select(
+    tot = scaled.agg(
+        F.sum("w_micro").cast("long").alias("w_total"),
+        F.max("rate_scaled").cast("long").alias("peak"),
+    )
+    rates = scaled.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         F.expr("CAST((w_micro * 1000000) div w_total AS BIGINT)").alias("share_ppm"),
-        F.least(
-            (F.col("w_micro") * 1_000_000.0 / F.col("n_chars"))
-            / F.col("peak")
-            * 1_000_000,
-            F.lit(1_000_000.0),
-        )
-        .cast("long")
-        .alias("keep_ppm"),
+        F.expr(
+            "CAST(LEAST((rate_scaled * 1000000) div peak, 1000000) AS BIGINT)"
+        ).alias("keep_ppm"),
     )
     kept = F.when(
         lcg_bucket(F.col("doc_id"), 1_000_000, seed=23) < F.col("keep_ppm"), 1

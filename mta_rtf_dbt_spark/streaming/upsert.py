@@ -424,41 +424,61 @@ def stream_agg_maintenance(
 
     Unlike MERGE upserts, a SUM fold is NOT naturally idempotent — a
     redelivered batch would double-count. The sink therefore records the
-    last applied batch_id next to the state and skips any batch at or below
-    it: foreachBatch's at-least-once redelivery (same checkpoint, same
-    batch ids) becomes exactly-once state. The marker binds the state to
-    one checkpoint lineage; on Delta/Iceberg this is the txn-version the
-    engine stores transactionally. Writes are staged-then-swapped.
-    Returns the completed StreamingQuery."""
+    last applied batch_id INSIDE the state directory (``_last_batch_id`` —
+    the underscore prefix makes Spark's parquet listing skip it) and skips
+    any batch at or below it: foreachBatch's at-least-once redelivery
+    (same checkpoint, same batch ids) becomes exactly-once state. Because
+    the marker travels inside the staged directory, state and marker swap
+    in ONE directory move — there is no window where new state exists with
+    an old marker (the r5 ADVICE double-fold) — and a crash between the
+    rmtree and the move leaves a complete staged dir that the next
+    invocation recovers into place before folding anything. On a local FS
+    the directory move itself is one rename(2); on object stores this
+    sink needs a transactional table format (Delta/Iceberg txn-version)
+    instead. Returns the completed StreamingQuery."""
     import os
     import shutil
 
     from mta_rtf_dbt_spark.operators.incremental import agg_state, merge_agg_states
 
-    marker = state_path.rstrip("/") + ".__last_batch__"
+    staged = state_path.rstrip("/") + ".__staged__"
+    _MARK = "_last_batch_id"
+
+    def _marker_of(d: str) -> int:
+        p = os.path.join(d, _MARK)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return int(fh.read().strip())
+        return -1
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # redelivered batch: already folded into state
+        # crash recovery: a completed staged dir (marker present) with no
+        # live state means we died between rmtree(state) and the move —
+        # promote it before touching anything else. Any other staged dir is
+        # an incomplete earlier write; discard it.
+        if os.path.isdir(staged):
+            if _marker_of(staged) >= 0 and not os.path.isdir(state_path):
+                shutil.move(staged, state_path)
+            else:
+                shutil.rmtree(staged, ignore_errors=True)
+        if batch_id <= _marker_of(state_path):
+            return  # redelivered batch: already folded into state
         bstate = agg_state(batch_df, keys, value)
         if os.path.isdir(state_path):
             merged = merge_agg_states(spark.read.parquet(state_path), bstate, keys)
         else:
             merged = bstate
-        staged = state_path.rstrip("/") + ".__staged__"
         merged.persist()
         merged.count()
         try:
             merged.write.mode("overwrite").parquet(staged)
+            with open(os.path.join(staged, _MARK), "w") as fh:
+                fh.write(str(batch_id))  # marker rides inside the swap unit
             if os.path.isdir(state_path):
                 shutil.rmtree(state_path)
             shutil.move(staged, state_path)
-            with open(marker, "w") as fh:
-                fh.write(str(batch_id))
         finally:
             merged.unpersist()
 
