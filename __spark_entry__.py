@@ -74,91 +74,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # first for periodic re-verification. The tail is entries green in the most
 # recent window (r3) — they yield the window to first-checks.
 _PRIORITY = [
-    # -- fixed this round: the one entry never green in any round (r4 red:
-    #    driver canonicalizer vs array columns — now emitted as scalars) --
-    "a_array_agg_sorted",
-    # -- changed this round (code changed while r4-green — a silent
-    #    regression here would stand on a stale green, so they outrank the
-    #    never-checked new entries): salted count -> COUNT(*), histogram
-    #    divisor guard, simhash 4x16 banding, single-pass funnel counts --
-    "a_salted_skew_agg",
-    "a_histogram_values",
-    "dedup_simhash",
-    "corpus_curation_funnel",
-    # w5: RANGE frame re-ordered on epoch micros (the sf0.1 sweep caught a
-    # sub-second frame-boundary divergence under second-granularity order)
-    "w5_range_interval_frame",
-    # -- new this round (second wave, headliners): erasure cascade,
-    #    aggregate retraction, insert_overwrite materialization, left-outer
-    #    stream-stream join (watermark-closed-horizon oracle) --
-    "gdpr_erasure_audit",
-    "incremental_agg_retract",
-    "mta_fts_insert_overwrite",
-    "stream_stream_left_join",
-    # -- new this round: the FULL metric workload (M1-M12) driver-gated over
-    #    the real MTA fixtures (r4 verdict item 1) --
-    "mta_m1",
-    "mta_m2",
-    "mta_m3",
-    "mta_m4",
-    "mta_m7",
-    "mta_m8",
-    "mta_m9",
-    "mta_m10",
-    "mta_m11",
-    "mta_m12",
-    # -- new this round: dbt-incremental materialization of the core model,
-    #    Q9/Q21-shape analogs --
-    "mta_fts_incremental",
-    "mta_stream_fts",
-    "q9_product_profit",
-    "q21_sole_returner",
-    # -- new this round: the five remaining TPC-H shapes (all 22 now
-    #    covered) — Q2 correlated-min decorrelation, Q11 scalar-subquery
-    #    HAVING, Q12 conditional split, Q16 NOT-IN + COUNT(DISTINCT),
-    #    Q20 nested double-aggregate semi chain --
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_split",
-    "q16_supplier_diversity",
-    "q20_concentrated_supply",
-    # -- oracle refactored to the shared METRIC_SQL source (re-verify) --
-    "mta_m5_headways",
-    "mta_m6_dwell",
-    # -- new this round: portable-HLL sketch column + deterministic
-    #    TABLESAMPLE (the two r4 "minor missing" items) + filtered ANN --
-    "a_hll_portable",
-    "s_tablesample_hash",
-    "ann_lsh_filtered",
-    # -- new this round: portable count-min sketch column + Bloom-filter
-    #    decontamination screen (broadcast-bitmap scale path) --
-    "a_cms_portable",
-    "text_bloom_decontaminate",
-    "stream_heavy_hitters",
-    "rag_chunk_retrieval",
-    "a_kmv_portable",
-    "a_kmv_setops",
-    "a_hdr_quantiles",
-    # -- new this round: product-analytics shapes (funnel, cohort
-    #    retention, fact-to-SCD2 temporal lookup) --
-    "a_event_funnel",
-    "a_cohort_retention",
-    "j_temporal_scd2_lookup",
-    # -- new this round: BPE tokenizer TRAINING (distributed word-frequency
-    #    merges; every round replayed in the oracle SQL) and integer
-    #    PageRank (fixed-round iterative graph rank, CC's sibling) --
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "graph_pagerank",
-    "a_skew_report",
-    "mta_dq_checks",
-    "j_full_outer_reconcile",
-    # ---- ~position 50: the driver's check window ends here (r4: exactly
-    #      50 entries). Everything below leads the r6 rotation. ----
+    # ---- r6 rotation (r5 verdict item 1): the 47 oracle-backed entries
+    #      that have NEVER had an external driver row fill the entire
+    #      ~50-entry window. Nothing is queued ahead of them. Within the
+    #      cohort, the three whose BEHAVIOR changed this round lead (a
+    #      stale local green is worthless the moment the code moves):
+    #      mix_temperature_sample (r5 ADVICE medium: keep_ppm scale bug —
+    #      rate math now pure integer), a_mad_outliers (micro-integerized
+    #      3-MAD compare), stream_agg_maintenance (atomic state+marker
+    #      swap). ----
+    "mix_temperature_sample",
+    "a_mad_outliers",
+    "stream_agg_maintenance",
+    # -- never-driver-checked remainder (r5 waves; hash-green in the local
+    #    sf0.01 + sf0.1 replicas; first driver row lands in r6) --
     "curriculum_shard_plan",
     "pack_boundaries",
-    # -- new this round (second wave, remainder — hash-green in the local
-    #    sf0.01 replica; first driver row lands in r6) --
     "a_histogram_equidepth",
     "m1_gapfill_interpolate",
     "layout_compaction_plan",
@@ -167,7 +98,6 @@ _PRIORITY = [
     "dedup_keep_best",
     "multimodal_image_meta",
     "sample_group_kfold",
-    "stream_agg_maintenance",
     "dq_schema_contract",
     "text_bm25_topk",
     "incremental_join_maintenance",
@@ -179,7 +109,6 @@ _PRIORITY = [
     "a_dp_noisy_counts",
     "a_k_anonymity_audit",
     "graph_triangles",
-    "a_mad_outliers",
     "a_attribution_last_touch",
     "source_json_corrupt_records",
     "a_running_distinct_users",
@@ -196,7 +125,6 @@ _PRIORITY = [
     "a_concurrency_sweepline",
     "embedding_dim_stats",
     "layout_backfill_plan",
-    "mix_temperature_sample",
     "ann_hard_negatives",
     "lm_vocab_drift_kl",
     "text_url_domains",
@@ -204,8 +132,15 @@ _PRIORITY = [
     "a_conversion_wilson",
     "a_benford_digits",
     "m_feed_gap_detection",
-    # -- round-1-green only, past r4's check cutoff (stalest first;
-    #    r4 verdict item 5) --
+    # -- rows-only entries round out the window (weaker driver check either
+    #    way; python-recompute or property tests locally) --
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # ---- ~position 50: the driver's check window ends here. Below:
+    #      stalest-green first for periodic re-verification (r5 verdict
+    #      item 4 — these 41 entries' only driver row is r1 and lead the
+    #      r7 window). ----
     "j4_dim_double_alias_star",
     "j5_j7_using_cast_key",
     "j6_banded_range_join",
@@ -248,11 +183,6 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
-    # -- rows-only (weaker driver check regardless — r4 rows recorded;
-    #    python-recompute or property tests locally) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
     # -- green in the r4 window (most recently verified — tail) --
     "a678_counts_rates",
     "m9_analog_completeness",
@@ -338,6 +268,58 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
+    # -- green in the r5 window (CORRECTNESS_r05: 50/50 hash-green — the
+    #    most recently externally verified cohort; deepest tail) --
+    "a_array_agg_sorted",
+    "a_salted_skew_agg",
+    "a_histogram_values",
+    "dedup_simhash",
+    "corpus_curation_funnel",
+    "w5_range_interval_frame",
+    "gdpr_erasure_audit",
+    "incremental_agg_retract",
+    "mta_fts_insert_overwrite",
+    "stream_stream_left_join",
+    "mta_m1",
+    "mta_m2",
+    "mta_m3",
+    "mta_m4",
+    "mta_m7",
+    "mta_m8",
+    "mta_m9",
+    "mta_m10",
+    "mta_m11",
+    "mta_m12",
+    "mta_fts_incremental",
+    "mta_stream_fts",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q16_supplier_diversity",
+    "q20_concentrated_supply",
+    "mta_m5_headways",
+    "mta_m6_dwell",
+    "a_hll_portable",
+    "s_tablesample_hash",
+    "ann_lsh_filtered",
+    "a_cms_portable",
+    "text_bloom_decontaminate",
+    "stream_heavy_hitters",
+    "rag_chunk_retrieval",
+    "a_kmv_portable",
+    "a_kmv_setops",
+    "a_hdr_quantiles",
+    "a_event_funnel",
+    "a_cohort_retention",
+    "j_temporal_scd2_lookup",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "graph_pagerank",
+    "a_skew_report",
+    "mta_dq_checks",
+    "j_full_outer_reconcile",
 ]
 
 

@@ -8,6 +8,10 @@ pricing summary, fact-fact join+agg, the window-dedup + lag pipeline, the
 percentile agg, plus the scale-path LLM ops (MinHash-LSH dedup, LSH ANN).
 Each query is timed to a terminal action (count) after a warm-up of the
 shared inputs' file listing; results are forced, not cached between runs.
+Per-entry numbers are the MEDIAN OF 3 independent reps (r5 verdict: the
+shared host's co-tenant load inflates single-shot timings ±30%, so one
+sample can't adjudicate a perf target); all raw reps ship in
+``queries_runs`` beside the medians.
 """
 
 from __future__ import annotations
@@ -114,14 +118,26 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run reports real failures
 
+    # median-of-3 per entry (r5 verdict: single-shot timings on a shared
+    # host swing ±30% with co-tenant load, so round-over-round perf asks
+    # can't be adjudicated from one sample). Each rep rebuilds the plan
+    # from scratch — scoped_persist releases the previous rep's cache, and
+    # Spark reuses nothing across jobs except the OS page cache (which is
+    # warm for every rep equally, the steady state a real cluster sees).
+    _REPS = 3
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in headline:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(_REPS):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            samples.append(round(time.monotonic() - t0, 3))
+        runs[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]
 
     # --- per-stage attribution for the composite heavyweights (r3 verdict
     # items 4/8: the fixed-overhead-vs-throughput split needs numbers). Each
@@ -235,29 +251,35 @@ def main() -> None:
         os.makedirs(f"{tmp}/incoming")
         shutil.copy(os.path.join(sf_dir, "documents.parquet"), f"{tmp}/incoming/")
         stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/incoming")
-        t0 = time.monotonic()
-        q = stream_dedup_ingest(
-            spark, stream, f"{tmp}/corpus", f"{tmp}/index", f"{tmp}/ckpt"
-        )
-        # awaitTermination returns False on timeout — stop the wedged query
-        # before the tmp-dir cleanup and mark the timing as invalid rather
-        # than recording a silently-bogus number (r4 ADVICE).
-        if q.awaitTermination(600):
-            timings["stream_dedup_ingest"] = round(time.monotonic() - t0, 3)
-        else:
-            q.stop()
-            timings["stream_dedup_ingest"] = -1.0  # timed out; not a timing
 
-        # near-dup sibling: same drain through the MinHash band index
-        t0 = time.monotonic()
-        q = stream_neardup_ingest(
-            spark, stream, f"{tmp}/nd_corpus", f"{tmp}/nd_index", f"{tmp}/nd_ckpt"
-        )
-        if q.awaitTermination(600):
-            timings["stream_neardup_ingest"] = round(time.monotonic() - t0, 3)
-        else:
-            q.stop()
-            timings["stream_neardup_ingest"] = -1.0  # timed out; not a timing
+        # median-of-3 for the sinks too — each rep drains into FRESH
+        # corpus/index/checkpoint dirs (a reused checkpoint would make rep
+        # 2+ a no-op batch). awaitTermination returns False on timeout —
+        # stop the wedged query before the tmp-dir cleanup and mark the
+        # entry timed-out rather than recording a silently-bogus number
+        # (r4 ADVICE).
+        for key, sink in [
+            ("stream_dedup_ingest", stream_dedup_ingest),
+            ("stream_neardup_ingest", stream_neardup_ingest),
+        ]:
+            samples = []
+            for rep in range(_REPS):
+                rdir = f"{tmp}/{key}_{rep}"
+                t0 = time.monotonic()
+                q = sink(
+                    spark, stream, f"{rdir}/corpus", f"{rdir}/index", f"{rdir}/ckpt"
+                )
+                if q.awaitTermination(600):
+                    samples.append(round(time.monotonic() - t0, 3))
+                else:
+                    q.stop()
+                    samples = []
+                    break
+            if samples:
+                runs[key] = samples
+                timings[key] = sorted(samples)[len(samples) // 2]
+            else:
+                timings[key] = -1.0  # timed out; not a timing
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -268,7 +290,9 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
+                "timing_policy": "median_of_3",
                 "queries": timings,
+                "queries_runs": runs,
                 "stages": stage_times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -130,16 +130,21 @@ def curate(
         T.fingerprint_sha(F.col("text")).alias("content_hash"),
     )
     if persist_base:
-        base = scoped_persist(base, "pipeline.base", eager=True)
+        # lazy on purpose: the deduped eager count below computes THROUGH
+        # base, populating this cache in the same job — an eager count here
+        # would serialize a second full materialization pass (r6)
+        base = scoped_persist(base, "pipeline.base")
     quality = base.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("lexdiv") >= min_lexdiv)
     )
-    w = Window.partitionBy("content_hash")
-    deduped = (
-        quality.withColumn("__canon", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__canon"))
-        .drop("__canon")
-    )
+    # keep-first via map-combined min-per-hash + equi-join back, NOT a
+    # window: the window form shuffles AND sorts every quality row by hash;
+    # the canon relation here is one row per distinct hash, map-side
+    # combined before its exchange, and AQE broadcasts it when small (at
+    # 100 TB it degrades to one un-sorted hash exchange — still strictly
+    # cheaper than the window's sort)
+    canon = quality.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(canon, ["content_hash", "doc_id"], "left_semi")
     # deduped feeds the train-shingle relation AND the clean anti-join AND
     # (via callers) funnel counts — one cache, many subtrees
     deduped = scoped_persist(deduped, "pipeline.deduped", eager=True)
@@ -333,15 +338,23 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-entered the funnel plan seven times, executing the contamination join
     twice): raw+quality come from ONE conditional aggregate over the base
     scan, deduped+train_candidates from ONE aggregate over the (already
-    persisted) dedup relation, and the contaminated count is derived as
-    ``train_candidates - clean`` — contaminated docs are by construction a
-    subset of train_candidates (their shingles come from it), so the
-    anti-join count determines it without executing the contamination join a
-    second time. Total heavy work: one corpus scan, one dedup window, one
-    contamination join (inside the persisted ``clean``), one mixing window —
-    each exactly once, which is also the 100 TB shape."""
+    persisted) dedup relation, and the clean count is derived as
+    ``train_candidates - contaminated`` — contaminated docs are by
+    construction a subset of train_candidates (their shingles come from
+    it), so the tiny contaminated id set determines it without executing
+    the anti-join a second time. The expensive subtree cached eagerly is
+    ``contaminated`` itself (r6 — its OUTPUT is a handful of ids, so the
+    cache is near-free, while the previous ``clean`` cache held the wide
+    corpus AND still re-ran the posting join when ``mixed``'s concurrent
+    subtree raced it): the final job then computes all four census
+    aggregates concurrently, every heavy subtree served from cache. Total
+    heavy work: one corpus scan, one dedup window, one contamination join,
+    one mixing window — each exactly once, which is also the 100 TB
+    shape."""
     stages = curate(load(spark, sf_dir, "documents"), persist_base=True)
-    clean = scoped_persist(stages["clean"], "pipeline.audit.clean", eager=True)
+    contaminated = scoped_persist(
+        stages["contaminated"], "pipeline.audit.contam", eager=True
+    )
     q_cond = (F.col("n_tokens") >= MIN_TOKENS) & (F.col("lexdiv") >= MIN_LEXDIV)
     agg_base = stages["base"].agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -353,12 +366,18 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_train"),
     )
-    agg_clean = clean.agg(F.count(F.lit(1)).alias("n_clean"))
-    # mixed's plan contains clean as a subtree — the cache manager
-    # substitutes the persisted relation, so the mixing window reads the
-    # cached anti-join output rather than re-running it
-    agg_mixed = stages["mixed"].agg(F.count(F.lit(1)).alias("n_mixed"))
-    one = agg_base.crossJoin(agg_dedup).crossJoin(agg_clean).crossJoin(agg_mixed)
+    agg_contam = contaminated.agg(F.count(F.lit(1)).alias("n_contam"))
+    # n_mixed needs NO mixing window: the per-source quota keeps
+    # min(count, quota) rows per source whatever the LCG order, so the
+    # count is one map-combined groupBy over clean (clean's anti-join
+    # probes the cached contaminated id set)
+    agg_mixed = (
+        stages["clean"]
+        .groupBy("source")
+        .agg(F.least(F.count(F.lit(1)), F.lit(SOURCE_QUOTA).cast("long")).alias("k"))
+        .agg(F.sum("k").cast("long").alias("n_mixed"))
+    )
+    one = agg_base.crossJoin(agg_dedup).crossJoin(agg_contam).crossJoin(agg_mixed)
     return one.select(
         F.expr(
             "stack(7,"
@@ -366,8 +385,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '2_quality', n_quality,"
             " '3_deduped', n_deduped,"
             " '4_train_candidates', n_train,"
-            " '5_contaminated', n_train - n_clean,"
-            " '6_clean', n_clean,"
+            " '5_contaminated', n_contam,"
+            " '6_clean', n_train - n_contam,"
             " '7_mixed', n_mixed) AS (stage, n)"
         )
     )

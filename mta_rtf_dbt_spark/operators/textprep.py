@@ -83,43 +83,66 @@ def contamination_pairs(
     embedded in a long training doc scores 1.0 regardless of the train doc's
     size — exactly the leakage case dedup's symmetric measure under-scores.
 
-    Scale: identical posting-join shape to dedup's exact baseline — one
-    shuffle on the shingle key, hot shingles (df >= max_posting across both
-    relations) dropped before the join so corpus boilerplate can't go
-    quadratic. The HOT list is tiny by construction (<= total_postings /
-    max_posting entries), so the cap is a map-combined groupBy over the
-    unioned sides to FIND it plus a broadcast LEFT ANTI on each side to
-    APPLY it — the posting relation never takes a wide exchange for the
-    cap (the r5 window-over-union form shuffled and sorted every posting
-    row and measured 2x slower at sf0.1; the r4 keep-JOIN form shuffled
-    the big relation into a non-broadcast join). Each pre-cap side is
-    persisted once (it feeds the df union and its join side) — at cluster
-    scale these persists are the staging writes a production
-    decontamination job does anyway."""
+    Scale (r6 grouped-postings shape): the two posting relations take ONE
+    map-combined groupBy on the shingle key into per-shingle doc LISTS
+    (test side and train side as two conditional collect_lists of the
+    tagged union), the hot cap (df >= max_posting across both relations)
+    becomes a length filter on the grouped row — no second pass, no
+    broadcast — and the pair counts come from exploding t x r per shingle
+    MAP-SIDE into a partially-aggregated (test_doc, train_doc) count. Net:
+    one wide exchange of the posting relation + one exchange of the
+    (already combined) pair counts. The previous shape sort-merge-joined
+    two string-keyed posting relations (two wide sorts) and then shuffled
+    the raw pair triples; at sf0.1 that join dominated the curation
+    funnel. The explode volume (sum over shingles of t_df * r_df) is
+    identical in both shapes and bounded by the cap — the cap is what
+    keeps corpus boilerplate from going quadratic at 100 TB. Per-group
+    list size is bounded by max_posting, so grouped rows stay small."""
     if max_posting is not None:
-        test_sh = scoped_persist(test_sh, "contam.test_sh", eager=True)
-        train_sh = scoped_persist(train_sh, "contam.train_sh", eager=True)
-        union = test_sh.select("shingle").unionAll(train_sh.select("shingle"))
-        hot = (
-            union.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") >= max_posting)
-            .select("shingle")
+        allsh = test_sh.withColumn("__side", F.lit("t")).unionAll(
+            train_sh.withColumn("__side", F.lit("r"))
         )
-        test_sh = test_sh.join(F.broadcast(hot), "shingle", "left_anti")
-        train_sh = train_sh.join(F.broadcast(hot), "shingle", "left_anti")
-    test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
-    common = (
-        test_sh.alias("t")
-        .join(train_sh.alias("r"), F.col("t.shingle") == F.col("r.shingle"))
-        .groupBy(
-            F.col("t.doc_id").alias("test_doc"), F.col("r.doc_id").alias("train_doc")
+        g = allsh.groupBy("shingle").agg(
+            F.collect_list(F.when(F.col("__side") == "t", F.col("doc_id"))).alias(
+                "t_docs"
+            ),
+            F.collect_list(F.when(F.col("__side") == "r", F.col("doc_id"))).alias(
+                "r_docs"
+            ),
+        ).filter(F.size("t_docs") + F.size("r_docs") < max_posting)
+        # both consumers below read the same grouped exchange — Spark's
+        # ReusedExchange dedupes the wide shuffle inside one action
+        test_cnt = (
+            g.select(F.explode("t_docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_test"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
+        common = (
+            g.filter((F.size("t_docs") > 0) & (F.size("r_docs") > 0))
+            .select(
+                F.explode("t_docs").alias("test_doc"), F.col("r_docs")
+            )
+            .select("test_doc", F.explode("r_docs").alias("train_doc"))
+            .groupBy("test_doc", "train_doc")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
+        common = (
+            test_sh.alias("t")
+            .join(train_sh.alias("r"), F.col("t.shingle") == F.col("r.shingle"))
+            .groupBy(
+                F.col("t.doc_id").alias("test_doc"),
+                F.col("r.doc_id").alias("train_doc"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
         common.join(
-            test_cnt.select(F.col("doc_id").alias("test_doc"), "n_test"), "test_doc"
+            F.broadcast(
+                test_cnt.select(F.col("doc_id").alias("test_doc"), "n_test")
+            ),
+            "test_doc",
         )
         .select(
             "test_doc",

@@ -101,7 +101,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (building the AdaptiveSparkPlan wrapper is driver-side planning only —
     EnsureRequirements has inserted the Exchange nodes by then, unlike
     ``sparkPlan`` which prints BEFORE they exist; no jobs run until an
-    action) and return the frame unchanged."""
+    action) and return the frame unchanged.
+
+    Width is sized by the optimizer's byte estimate (r6): repartitioning a
+    500 KB scan to 32 partitions makes EVERY downstream stage of every
+    consumer 32-64 tasks wide, and at bench scale task scheduling then
+    dominates wall-clock (measured: the curation funnel spent ~0.9 s of
+    3.3 s purely on task dispatch). Target = clamp(bytes/1 MB, 8, cores):
+    kilobyte inputs get 8-way parallelism (plenty for their row counts),
+    anything over ~32 MB gets full width, and at 100 TB the estimate
+    saturates the cap so the policy is exactly the old one. The stats call
+    is on the LOGICAL plan — driver-side estimation, no jobs."""
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # Shuffle exchanges only: r4 ADVICE — the bare substring 'Exchange'
@@ -113,7 +123,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass  # fall through to the probe on any introspection failure
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    target = min_partitions
+    if target is None:
+        target = cores
+        try:
+            nbytes = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            target = max(8, min(cores, nbytes // (1 << 20)))
+        except Exception:
+            pass  # estimation unavailable — keep the full-width default
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
