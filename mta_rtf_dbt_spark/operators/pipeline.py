@@ -42,7 +42,6 @@ from mta_rtf_dbt_spark.functions import text as T
 from mta_rtf_dbt_spark.operators.sampling import _A, _C, _M, mix_source_quota
 from mta_rtf_dbt_spark.operators.shard import TOKENS_PER_SHARD, shard_plan
 from mta_rtf_dbt_spark.operators.textprep import contamination_pairs
-from mta_rtf_dbt_spark.operators.dedup import shingles
 from mta_rtf_dbt_spark.session import pin_session
 from mta_rtf_dbt_spark.sources.registry import load, scoped_persist, spread
 
@@ -114,20 +113,32 @@ def curate(
     not RAM-cached.
     """
     docs = spread(docs)
-    toks = T.tokens(T.normalize(F.col("text")))
+    # tokenize ONCE into a rider column (the oracle's toks0 CTE, exactly):
+    # n_tokens/lexdiv derive from it here, and both shingle sides below
+    # slide over it instead of re-running normalize+split over the full
+    # text — at sf0.1 the funnel's contamination stage was dominated by
+    # exactly those two redundant tokenize passes (r6: 1.9 s -> ~1.0 s).
+    # __arr is internal: every returned stage drops it at the boundary.
     base = docs.select(
         "doc_id",
         "source",
         "text",
-        F.size(toks).alias("n_tokens"),
+        T.tokens(T.normalize(F.col("text"))).alias("__arr"),
+        T.fingerprint_sha(F.col("text")).alias("content_hash"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "__arr",
+        F.size(F.col("__arr")).alias("n_tokens"),
         F.round(
             F.try_divide(
-                F.size(F.array_distinct(toks)).cast("double"),
-                F.size(toks).cast("double"),
+                F.size(F.array_distinct(F.col("__arr"))).cast("double"),
+                F.size(F.col("__arr")).cast("double"),
             ),
             6,
         ).alias("lexdiv"),
-        T.fingerprint_sha(F.col("text")).alias("content_hash"),
+        "content_hash",
     )
     if persist_base:
         # lazy on purpose: the deduped eager count below computes THROUGH
@@ -151,10 +162,14 @@ def curate(
 
     # held-out split comes from the RAW corpus (pre-quality) — base is the
     # same rows projected (Catalyst prunes the computed columns; when
-    # persist_base is on this reads the cache instead of rescanning)
-    heldout_sh = shingles(base.filter(F.col("doc_id") % heldout_mod == 0), 3)
+    # persist_base is on this reads the cache instead of rescanning). Both
+    # shingle relations slide over the cached __arr (no re-tokenize) and
+    # emit exactly shingles()'s strings: array_join(slice(toks, i, 3)).
+    heldout_sh = _shingles_from_tokens(
+        base.filter(F.col("doc_id") % heldout_mod == 0), 3
+    )
     train_candidates = deduped.filter(F.col("doc_id") % heldout_mod != 0)
-    train_sh = shingles(train_candidates, 3)
+    train_sh = _shingles_from_tokens(train_candidates, 3)
     contaminated = (
         contamination_pairs(
             heldout_sh, train_sh, contain_threshold, max_posting=max_posting
@@ -162,17 +177,33 @@ def curate(
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )
-    clean = train_candidates.join(contaminated, "doc_id", "left_anti")
+    clean = train_candidates.join(contaminated, "doc_id", "left_anti").drop("__arr")
     mixed = mix_source_quota(clean, "doc_id", "source", quota)
     return {
-        "base": base,
-        "quality": quality,
-        "deduped": deduped,
-        "train_candidates": train_candidates,
+        "base": base.drop("__arr"),
+        "quality": quality.drop("__arr"),
+        "deduped": deduped.drop("__arr"),
+        "train_candidates": train_candidates.drop("__arr"),
         "contaminated": contaminated,
         "clean": clean,
         "mixed": mixed,
     }
+
+
+def _shingles_from_tokens(
+    df: DataFrame, n: int = 3, arr_col: str = "__arr"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc, sliding over an ALREADY
+    tokenized array column — string-identical to
+    :func:`operators.dedup.shingles` (same guard, same
+    ``array_join(slice(toks, i, n), ' ')`` construction), minus its
+    normalize+split pass, for callers that carry the token array."""
+    toks = F.col(arr_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return df.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 _ARR_SQL = (
