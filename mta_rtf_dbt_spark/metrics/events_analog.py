@@ -1192,17 +1192,25 @@ def a_running_distinct_users(spark, sf_dir):
              quantile_cont(value, 0.01) AS p01,
              quantile_cont(value, 0.99) AS p99
       FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT e.event_type,
+             CAST(round(e.value * 1000000, 0) AS BIGINT) AS v_micro,
+             CAST(round(b.p01 * 1000000, 0) AS BIGINT) AS p01_micro,
+             CAST(round(b.p99 * 1000000, 0) AS BIGINT) AS p99_micro,
+             b.p01, b.p99
+      FROM events e JOIN b USING (event_type)
     )
-    SELECT e.event_type,
+    SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(count(*) FILTER (WHERE e.value < b.p01) AS BIGINT) AS n_clipped_low,
-           CAST(count(*) FILTER (WHERE e.value > b.p99) AS BIGINT) AS n_clipped_high,
-           ROUND(CAST(any_value(b.p01) AS DOUBLE), 6) AS p01,
-           ROUND(CAST(any_value(b.p99) AS DOUBLE), 6) AS p99,
-           CAST(SUM(CAST(round(least(greatest(e.value, b.p01), b.p99) * 1000, 0) AS BIGINT)) AS BIGINT)
+           CAST(count(*) FILTER (WHERE v_micro < p01_micro) AS BIGINT) AS n_clipped_low,
+           CAST(count(*) FILTER (WHERE v_micro > p99_micro) AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(any_value(p01) AS DOUBLE), 6) AS p01,
+           ROUND(CAST(any_value(p99) AS DOUBLE), 6) AS p99,
+           CAST(round(SUM(least(greatest(v_micro, p01_micro), p99_micro)) / 1000.0, 0) AS BIGINT)
              AS winsorized_sum_milli
-    FROM events e JOIN b USING (event_type)
-    GROUP BY e.event_type
+    FROM m
+    GROUP BY event_type
     """,
 )
 def a_winsorize_census(spark, sf_dir):
@@ -1210,27 +1218,38 @@ def a_winsorize_census(spark, sf_dir):
     standard tail-taming preprocessing before training on heavy-tailed
     features; unlike trimming it keeps the rows, so counts downstream stay
     intact. Clip bounds are exact percentiles (production: approx per D7)
-    broadcast back over the corpus; the winsorized sum is milli-integerized
-    per value BEFORE summing so the released aggregate is order-free and
-    engine-exact; bounds round to 6dp per the float-output discipline."""
+    broadcast back over the corpus.
+
+    Engine-exactness: values AND bounds are micro-integerized (round*1e6 to
+    BIGINT) before every comparison and before clipping — ``F.percentile``
+    and ``quantile_cont`` interpolate independently, and a 1-ulp bound
+    difference flips boundary rows' clip flags (the r6 sf1 rehearsal caught
+    exactly that: n_clipped_high 2000 vs 2010 at 10x density; same class as
+    the a_mad_outliers r5 ADVICE fix). The winsorized sum accumulates exact
+    micro BIGINTs and divides down to milli ONCE at the end — order-free
+    and identical in both engines. Bounds display at 6dp per the
+    float-output discipline (micro rounding is finer than display grain)."""
     e = load(spark, sf_dir, "events")
     b = e.groupBy("event_type").agg(
         F.percentile(F.col("value"), F.lit(0.01)).alias("p01"),
         F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
     )
     j = e.join(F.broadcast(b), "event_type")
-    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    v_micro = F.round(F.col("value") * 1000000, 0).cast("long")
+    p01_micro = F.round(F.col("p01") * 1000000, 0).cast("long")
+    p99_micro = F.round(F.col("p99") * 1000000, 0).cast("long")
+    clipped_micro = F.least(F.greatest(v_micro, p01_micro), p99_micro)
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+        F.sum(F.when(v_micro < p01_micro, 1).otherwise(0))
         .cast("long")
         .alias("n_clipped_low"),
-        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+        F.sum(F.when(v_micro > p99_micro, 1).otherwise(0))
         .cast("long")
         .alias("n_clipped_high"),
         F.round(F.first("p01"), 6).alias("p01"),
         F.round(F.first("p99"), 6).alias("p99"),
-        F.sum(F.round(clipped * 1000, 0).cast("long"))
+        F.round(F.sum(clipped_micro) / 1000.0, 0)
         .cast("long")
         .alias("winsorized_sum_milli"),
     )

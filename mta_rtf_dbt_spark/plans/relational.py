@@ -65,8 +65,8 @@ def _dec(c, scale: int = 2):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -78,7 +78,15 @@ def _dec(c, scale: int = 2):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-agg with partial/final combine (A1, A4, F19). Scale: pure
-    map-side-combinable agg — shuffles only |groups| rows per partition."""
+    map-side-combinable agg — shuffles only |groups| rows per partition.
+
+    The product sums round to cents ON THE DECIMAL (exact, same HALF_UP in
+    both engines for positive values) before the double cast: a
+    DECIMAL(38,6) whose unscaled value exceeds 2^53 converts to double
+    differently across engines (Spark rounds once; DuckDB converts the
+    int128 then divides by 1e6 — two roundings), which the r6 sf1
+    rehearsal caught as a last-ulp sum_charge divergence at 6M rows.
+    Rounding first keeps the unscaled value comfortably exact-in-double."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp")
     )
@@ -90,8 +98,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
         F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         (F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt).alias("avg_qty"),
         (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt).alias("avg_price"),
         (F.sum(_dec(F.col("l_discount"))).cast("double") / cnt).alias("avg_disc"),

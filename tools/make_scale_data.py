@@ -33,8 +33,14 @@ import duckdb
 
 # Key shift between replicas — far above any source key (sf0.1 max keys are
 # ~6e5) and small enough that r*OFFSET + key stays well inside int64 even
-# for BIGINT keys packed into downstream hash math.
-OFFSET = 10_000_000
+# for BIGINT keys packed into downstream hash math. Must ALSO clear the
+# +10_000_000 band the MERGE/CDC entries use for synthetic insert keys
+# (operators/merge.py): with a 10M offset, replica r's real orders collide
+# with replica r-1's synthetic inserts and the CDC feed re-classifies them
+# as updates (found by the r6 sf1 rehearsal — a generator bug, not an
+# engine divergence). 100M keeps every replica band (width ~6e5) clear of
+# every +10M synthetic band.
+OFFSET = 100_000_000
 
 # table -> {column: shift multiplier} (columns not listed are copied as-is;
 # multiplier 1 means += r*OFFSET, used for every surrogate/foreign key so a
