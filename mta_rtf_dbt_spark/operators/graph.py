@@ -214,19 +214,19 @@ sh0 AS (SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
        FROM toks WHERE len(arr) >= 3),
-sh AS (SELECT doc_id, shingle FROM (
+sh AS MATERIALIZED (SELECT doc_id, shingle FROM (
          SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
          FROM sh0) WHERE df < 1000),
-cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
 pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
   WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.2
 ),
-und AS (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+und AS MATERIALIZED (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges),
 rch AS (
   SELECT a AS node, a AS label FROM und
   UNION
@@ -376,25 +376,25 @@ def pagerank(
 def _pagerank_oracle_sql(n_iter: int = PR_ITERS, scale: int = PR_SCALE) -> str:
     """Replays every round as chained CTEs over the same integer formula."""
     ctes = [
-        """edges AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        """edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
                  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY 1)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes)",
     ]
     for t in range(n_iter):
         ctes.append(
-            f"""d{t} AS (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS d
+            f"""d{t} AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r) AS BIGINT), 0) AS d
                  FROM r{t} LEFT JOIN outdeg ON node = src WHERE od IS NULL)"""
         )
         ctes.append(
-            f"""c{t} AS (SELECT e.dst AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS c
+            f"""c{t} AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS c
                  FROM edges e JOIN r{t} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
                  GROUP BY 1)"""
         )
         ctes.append(
-            f"""r{t + 1} AS (SELECT n2.node,
+            f"""r{t + 1} AS MATERIALIZED (SELECT n2.node,
                  CAST((15 * ({scale} // (SELECT n FROM nn))
                        + 85 * (COALESCE(c.c, 0) + (SELECT d FROM d{t}) // (SELECT n FROM nn)))
                       // 100 AS BIGINT) AS r
@@ -442,7 +442,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_SQL = (
     _CC_CTES
     + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node),
-labeled AS (
+labeled AS MATERIALIZED (
   SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ),

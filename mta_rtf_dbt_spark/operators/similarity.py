@@ -861,7 +861,7 @@ def _rag_oracle_sql() -> str:
              unnest(generate_series(0, (n - 1) // {RAG_STRIDE})) AS chunk_id
       FROM base
     ),
-    terms AS (
+    terms AS MATERIALIZED (
       SELECT doc_id, chunk_id,
              unnest(list_transform(
                generate_series(chunk_id * {RAG_STRIDE} + 1,
@@ -879,7 +879,7 @@ def _rag_oracle_sql() -> str:
                (acc, c) -> (acc * {POLY_BASE} + c) % {POLY_MOD}) AS h
       FROM uniq
     ),
-    vec AS (
+    vec AS MATERIALIZED (
       SELECT t.doc_id, t.chunk_id, h.h % {RAG_DIM} AS bucket,
              CAST(SUM(CASE WHEN (h.h // {RAG_DIM}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
       FROM terms t JOIN hashed h USING (term)

@@ -19,5 +19,14 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
+    # Route oracle spill off the repo tree (DuckDB's in-memory default is
+    # `.tmp` under the cwd — the r6 sf1 rehearsal left 59 GB of spill
+    # blocks inside /root/repo and then filled the disk) and cap it so a
+    # runaway oracle degrades into a clean error instead of taking the
+    # host's free space with it. Memory stays at DuckDB's default (80% of
+    # RAM): the oracle is correctness scaffolding, and its ceiling must
+    # not become the rehearsal's binding constraint.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     yield con
     con.close()
