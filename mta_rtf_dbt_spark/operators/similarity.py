@@ -830,8 +830,15 @@ def rag_retrieve_topk(vec: DataFrame, query_mod: int = RAG_QUERY_MOD, k: int = R
         "bucket",
         F.col("w").alias("cw"),
     )
+    # No broadcast hint: the query side GROWS with the corpus (it's a fixed
+    # fraction of it, doc_id % query_mod), so forcing a broadcast is a
+    # scale-killer — the r6 sf1 rehearsal OOM'd the executor heap exactly
+    # here (every task building a multi-million-row hash relation). A
+    # shuffle join on the bucket key distributes evenly (buckets are hash
+    # buckets, RAG_DIM distinct values) and AQE still auto-broadcasts at
+    # runtime whenever the query side is actually small.
     scores = (
-        cv.join(F.broadcast(qv), "bucket")
+        cv.join(qv, "bucket")
         .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
         .agg(F.sum(F.col("qw") * F.col("cw")).cast("long").alias("dot"))
         .filter(F.col("dot") > 0)
@@ -908,11 +915,18 @@ def rag_chunk_retrieval(spark, sf_dir):
     """RAG indexing + retrieval end to end: sliding-window chunking ->
     feature-hashed chunk vectors -> inverted-index dot-product top-k for
     the query docs (doc_id % 97 == 0) — every stage integer-deterministic
-    and hash-verified against DuckDB replaying the identical pipeline."""
+    and hash-verified against DuckDB replaying the identical pipeline.
+
+    Scale envelope (measured, r6 sf1 rehearsal): this is the EXACT
+    retrieval baseline, and exact inverted-index retrieval is
+    O(co-bucket pairs) = O(|q|*|c|/DIM) — verified green through sf0.1;
+    at sf1 the 10x clone-dense corpus puts pair volume near 1e11 on both
+    engines, past any single-JVM envelope. The scale path for retrieval
+    is ann_lsh_topk / ivf_topk (sub-linear candidate generation), which
+    rehearse clean; this entry exists as their recall yardstick."""
     docs = load(spark, sf_dir, "documents")
-    # the vector index feeds BOTH retrieval sides (queries broadcast from
-    # it, corpus probes it) — stage it eagerly, as the persisted retrieval
-    # index it is in production
+    # the vector index feeds BOTH retrieval sides — stage it eagerly, as
+    # the persisted retrieval index it is in production
     vec = scoped_persist(rag_chunk_vectors(docs), "rag.vec", eager=True)
     return rag_retrieve_topk(vec)
 
