@@ -499,11 +499,27 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("tok"),
-    ).withColumn("hb", _poly_hash_col(F.col("tok")))
-    # (r5 note: pre-aggregating term frequency per (doc, hb) before this wide
-    # aggregate was measured SLOWER at sf0.1 — synthetic docs are mostly
-    # distinct tokens, so the extra shuffle buys nothing; the 64 conditional
-    # sums in one map-side-combined agg remain the best shape.)
+    )
+    # Hash the DISTINCT vocabulary, not every token instance (r6; the
+    # DuckDB oracle always worked this way — uniq -> hash -> join). The
+    # char-polynomial hash is an interpreted higher-order function (no
+    # whole-stage codegen for lambda eval), so per-instance hashing was
+    # the entry's dominant cost; vocabulary is smaller than the instance
+    # stream by orders of magnitude in ANY corpus (zipf), so the poly
+    # hash runs once per vocab word and the instance stream broadcast-
+    # joins a single extra long (``hb``). The 64 parity contributions
+    # stay INSIDE the map-side-combined aggregate exactly as before —
+    # materializing them as 64 join columns was measured 1.6x SLOWER at
+    # sf0.1 (wide rows through the join defeat the narrow broadcast).
+    # Broadcast is explicit: a vocab bigger than the broadcast ceiling
+    # means hashing it is cheap relative to the instance scan anyway, so
+    # the fallback would be to drop .distinct(), not to shuffle-join on
+    # a low-cardinality skewed key. Per-doc sums are unchanged integers
+    # -> signatures bit-identical.
+    vocab = (
+        toks.select("tok").distinct().withColumn("hb", _poly_hash_col(F.col("tok")))
+    )
+    toks = toks.join(F.broadcast(vocab), "tok").select("doc_id", "hb")
     seeds = _minhash_seeds(64)
     bit_sums = toks.groupBy("doc_id").agg(
         *[
