@@ -120,23 +120,31 @@ def main() -> None:
 
     # median-of-3 per entry (r5 verdict: single-shot timings on a shared
     # host swing ±30% with co-tenant load, so round-over-round perf asks
-    # can't be adjudicated from one sample). Each rep rebuilds the plan
-    # from scratch — scoped_persist releases the previous rep's cache, and
-    # Spark reuses nothing across jobs except the OS page cache (which is
-    # warm for every rep equally, the steady state a real cluster sees).
+    # can't be adjudicated from one sample). Reps are INTERLEAVED — three
+    # full passes over the suite, median taken per entry ACROSS passes —
+    # because co-tenant contention arrives in multi-minute bursts: with
+    # back-to-back reps one burst poisons all three samples of a
+    # contiguous window of entries (observed r6: a burst turned a
+    # verified-2.5s entry into a recorded 18/20/25s triple while entries
+    # minutes later ran faster than the previous round). Interleaving
+    # makes each entry's three samples minutes apart, so a burst can
+    # claim at most one of them and the median stays honest. Each rep
+    # rebuilds the plan from scratch — scoped_persist releases the
+    # previous rep's cache, and Spark reuses nothing across jobs except
+    # the OS page cache (warm for every rep equally, the steady state a
+    # real cluster sees).
     _REPS = 3
     timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name in headline:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        samples = []
-        for _ in range(_REPS):
+    runs: dict[str, list[float]] = {name: [] for name in headline if name in qs}
+    for _ in range(_REPS):
+        for name in headline:
+            fn = qs.get(name)
+            if fn is None:
+                continue
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
-            samples.append(round(time.monotonic() - t0, 3))
-        runs[name] = samples
+            runs[name].append(round(time.monotonic() - t0, 3))
+    for name, samples in runs.items():
         timings[name] = sorted(samples)[len(samples) // 2]
 
     # --- per-stage attribution for the composite heavyweights (r3 verdict
@@ -290,7 +298,7 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "timing_policy": "median_of_3",
+                "timing_policy": "median_of_3_interleaved",
                 "queries": timings,
                 "queries_runs": runs,
                 "stages": stage_times,
