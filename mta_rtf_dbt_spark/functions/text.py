@@ -107,6 +107,25 @@ POLY_BASE = 257
 POLY_MOD = 2_147_483_647
 
 
+def poly_hash_expr(sub: str) -> str:
+    """SQL-string twin of :func:`poly_hash` over the SQL expression ``sub``.
+
+    Parses to the identical expression tree (same sequence/transform/
+    aggregate, same constants), so plans and results are byte-equal to the
+    Column form — the string form exists because building wide signature
+    projections from Python Column operators costs one Py4J round trip per
+    operator, and a 64-hash family built that way spends ~1 s of DRIVER time
+    per plan construction before any execution (measured r6 at sf0.1; the
+    bench rebuilds each entry's plan 3x). One parsed string is one round
+    trip. Use it inside selectExpr/F.expr for wide families; keep the Column
+    form for single-column call sites where readability wins."""
+    return (
+        f"aggregate(transform(sequence(1, length({sub})), "
+        f"i -> cast(ascii(substring({sub}, i, 1)) as long)), "
+        f"0L, (acc, x) -> (acc * {POLY_BASE}L + x) % {POLY_MOD}L)"
+    )
+
+
 def poly_hash(c: Column) -> Column:
     """Char-polynomial hash of a string column mod 2^31-1 — pure Column ops
     (sequence/transform/aggregate all stay inside codegen; no UDF)."""

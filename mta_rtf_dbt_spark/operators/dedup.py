@@ -243,37 +243,37 @@ def minhash_signatures(
 
     Both shapes compute the identical (A_i*hb + B_i) % P family, so their
     outputs are equal row-for-row and either satisfies the shared oracle."""
+    # Wide hash families are built as ONE parsed SQL string per projection
+    # (r6): the Column-operator form costs a Py4J round trip per operator —
+    # ~1 s of driver time per plan BUILD for a 64-hash family, paid before
+    # any execution and re-paid every time the bench/driver rebuilds the
+    # plan. The strings parse to the identical expression trees, so the
+    # executed plan and every result byte are unchanged.
     seeds = _minhash_seeds(num_hashes)
     if shingle_rel is None:
         d = spread(docs)  # signature is CPU-bound; don't serialize on one row group
         toks = T.tokens(T.normalize(F.col(text_col)))
-        hb = F.transform(
-            F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)),
-            _poly_hash_col,
-        )
         base = d.filter(F.size(toks) >= shingle_n).select(
-            F.col(id_col).alias("doc_id"), hb.alias("hb")
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)),
+                _poly_hash_col,
+            ).alias("hb"),
         )
-
-        def _minhash(a: int, b: int) -> F.Column:
-            return F.array_min(
-                F.transform(F.col("hb"), lambda h: (h * a + b) % MINHASH_P)
-            )
-
-        return base.select(
-            "doc_id",
-            F.array(*[_minhash(a, b) for (a, b) in seeds]).alias("minhash"),
+        mins = ", ".join(
+            f"array_min(transform(hb, h -> (h * {a}L + {b}L) % {MINHASH_P}L))"
+            for (a, b) in seeds
         )
+        return base.selectExpr("doc_id", f"array({mins}) AS minhash")
     pre = shingle_rel.select("doc_id", _poly_hash_col(F.col("shingle")).alias("hb"))
     agg = pre.groupBy("doc_id").agg(
         *[
-            F.min((F.col("hb") * a + b) % MINHASH_P).alias(f"h{i}")
+            F.expr(f"min((hb * {a}L + {b}L) % {MINHASH_P}L)").alias(f"h{i}")
             for i, (a, b) in enumerate(seeds)
         ]
     )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash")
-    )
+    arr = ", ".join(f"h{i}" for i in range(num_hashes))
+    return agg.selectExpr("doc_id", f"array({arr}) AS minhash")
 
 
 def lsh_band_keys(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> DataFrame:
@@ -282,17 +282,18 @@ def lsh_band_keys(sigs: DataFrame, bands: int = 16, num_hashes: int = 64) -> Dat
     exactly these rows, so batch and stream agree on what collides)."""
     rows_per_band = num_hashes // bands
 
-    def band_hash(b: int) -> F.Column:
-        acc = F.col("minhash").getItem(b * rows_per_band)
+    def band_hash(b: int) -> str:
+        acc = f"minhash[{b * rows_per_band}]"
         for j in range(1, rows_per_band):
-            acc = (acc * MINHASH_BAND_BASE + F.col("minhash").getItem(b * rows_per_band + j)) % MINHASH_P
+            acc = f"(({acc}) * {MINHASH_BAND_BASE}L + minhash[{b * rows_per_band + j}]) % {MINHASH_P}L"
         return acc
 
+    # one parsed string, not bands x rows_per_band Py4J-built operators
+    # (same driver-build rationale as minhash_signatures; tree identical)
+    arr = ", ".join(band_hash(b) for b in range(bands))
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[band_hash(b) for b in range(bands)])
-        ).alias("band", "band_hash"),
+        F.expr(f"posexplode(array({arr}))").alias("band", "band_hash"),
     )
 
 
@@ -520,23 +521,26 @@ def simhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         toks.select("tok").distinct().withColumn("hb", _poly_hash_col(F.col("tok")))
     )
     toks = toks.join(F.broadcast(vocab), "tok").select("doc_id", "hb")
+    # expr-string forms: identical trees, one Py4J round trip per column
+    # instead of per operator (see minhash_signatures' build-cost note)
     seeds = _minhash_seeds(64)
     bit_sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(((F.col("hb") * a + b) % MINHASH_P) % 2 == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN ((hb * {a}L + {b}L) % {MINHASH_P}L) % 2L = 1 "
+                f"THEN 1 ELSE -1 END)"
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(seeds)
         ]
     )
     bands = []
     for band in range(N_SIMHASH_BANDS):
-        val = F.lit(0).cast("long")
-        for j in range(_BITS):
-            bit = band * _BITS + j
-            val = val + F.when(F.col(f"s{bit}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bands.append(val.alias(f"band{band}"))
-    return bit_sums.select("doc_id", *bands)
+        terms = " + ".join(
+            f"(CASE WHEN s{band * _BITS + j} >= 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(_BITS)
+        )
+        bands.append(f"({terms}) AS band{band}")
+    return bit_sums.selectExpr("doc_id", *bands)
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
