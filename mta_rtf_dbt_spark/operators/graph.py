@@ -335,34 +335,42 @@ def pagerank(
         "pr.edges",
         eager=True,
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # One pass computes the node universe AND out-degrees together (r6 —
+    # formerly a union-distinct plus a separate count agg, two shuffles):
+    # each edge contributes (src, 1) and (dst, 0); summing the flag per
+    # node yields od, with od = 0 marking dangling nodes. The static od
+    # column then RIDES INSIDE the rank relation for every round, so the
+    # per-round dangling mass is a filter + 1-row agg on the already-
+    # checkpointed ranks (the former per-round anti-join against outdeg is
+    # gone), and contrib divides by the source row's own od after joining
+    # the PLAIN edge list (the former edges-with-outdeg join + checkpoint
+    # is gone too). Two fewer setup materializations and one less
+    # per-round shuffle at any scale; every integer is unchanged.
+    nd = (
+        e.selectExpr("explode(array(struct(src AS node, 1 AS f), struct(dst AS node, 0 AS f))) AS x")
+        .groupBy(F.col("x.node").alias("node"))
+        .agg(F.sum("x.f").cast("long").alias("od"))
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
-    # edges annotated with the source's out-degree, built once for all rounds
-    eo = e.join(outdeg, "src").localCheckpoint()
-    n_nodes = nodes.count()
+    n_nodes = nd.count()
     base = scale // n_nodes
-    ranks = nodes.withColumn("r", F.lit(base).cast("long"))
+    ranks = nd.withColumn("r", F.lit(base).cast("long"))
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        dangling = ranks.filter(F.col("od") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d")
         )
         contrib = (
-            eo.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("r div od").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").cast("long").alias("c"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "od",
                 F.expr(
                     f"CAST((15 * {base}L + 85 * (coalesce(c, 0L) + d div {n_nodes}L))"
                     " div 100 AS BIGINT)"
