@@ -160,13 +160,16 @@ def lsh_signatures(
     ve = df.select(
         F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("pos0", "val")
     ).select("vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double"))
+    # wide families as parsed SQL strings — identical trees, one Py4J
+    # round trip per column instead of per operator (the same driver-side
+    # plan-build tax measured and documented in operators/dedup.py r6)
     dots = (
         ve.join(F.broadcast(pl), "pos")
         .groupBy("vid")
         .agg(
             *[
-                F.sum(
-                    F.round(F.col("val") * F.col(f"p{i}") * _DOT_SCALE, 0).cast("long")
+                F.expr(
+                    f"sum(CAST(round(val * p{i} * {_DOT_SCALE}, 0) AS BIGINT))"
                 ).alias(f"d{i}")
                 for i in range(n_planes)
             ]
@@ -174,21 +177,15 @@ def lsh_signatures(
     )
     band_sigs = []
     for band in range(n_bands):
-        sig = F.lit(0).cast("long")
-        for j in range(bits_per_band):
-            i = band * bits_per_band + j
-            sig = sig + F.when(F.col(f"d{i}") >= 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        band_sigs.append(sig.alias(f"b{band}"))
-    return (
-        dots.select("vid", *band_sigs)
-        .select(
-            "vid",
-            F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias(
-                "band", "band_sig"
-            ),
+        terms = " + ".join(
+            f"(CASE WHEN d{band * bits_per_band + j} >= 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(bits_per_band)
         )
+        band_sigs.append(f"({terms}) AS b{band}")
+    arr = ", ".join(f"b{b}" for b in range(n_bands))
+    return (
+        dots.selectExpr("vid", *band_sigs)
+        .select("vid", F.expr(f"posexplode(array({arr}))").alias("band", "band_sig"))
         .select("vid", F.col("band").cast("int").alias("band"), "band_sig")
     )
 
