@@ -553,7 +553,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
              greatest(a.l_partkey, b.l_partkey) AS v
       FROM lineitem a JOIN lineitem b
@@ -573,22 +573,11 @@ _TRIANGLE_SQL = """
     """
 
 
-@q("graph_triangles", _TRIANGLE_SQL)
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle counting over the part co-purchase graph (parts
-    sharing an order are linked — the market-basket projection): the
-    clustering-coefficient numerator and the third iterative-graph member
-    next to CC and PageRank. Each triangle u<v<w is counted exactly once
-    by joining canonically-oriented edges (wedge at the smallest vertex,
-    then the closing edge) — two equi-joins on the edge relation, never an
-    all-pairs product.
-
-    Scale: edge generation is a per-order self-join (baskets are small, so
-    it is bounded per key); the wedge join's cost concentrates on
-    high-degree vertices — at skewed scale the standard upgrade is
-    degree-ordering the orientation (wedge at the LOWEST-degree vertex)
-    which this id-ordering approximates; the joins themselves co-partition
-    on the wedge vertex."""
+def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
+    """Canonical (u < v) edge relation of the part co-purchase graph:
+    parts sharing an order are linked. Per-order self-join (baskets are
+    small, so it is bounded per key), deduped, persisted — both triangle
+    operators read it three times."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -603,18 +592,69 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = scoped_persist(pairs, "tri.pairs", eager=True)
+    return scoped_persist(pairs, scope, eager=True)
+
+
+def _tri_stream(pairs: DataFrame) -> DataFrame:
+    """Canonically-oriented triangle stream (a < b < c): wedge at the
+    smallest vertex, then the closing edge — two equi-joins on the edge
+    relation, never an all-pairs product. Each triangle appears exactly
+    once.
+
+    The wedge relation (all u<v<w with uv and uw edges) has
+    sum_u C(d_u, 2) rows — SUPER-LINEAR in edges — and the closing-edge
+    sort-merge join must sort it. A fixed ``spark.sql.shuffle.partitions``
+    cannot absorb a super-linear intermediate: the sf3 rehearsal (27M
+    edges -> ~600M wedges over 32 partitions) put ~19M rows through each
+    task's UnsafeExternalSorter, which died growing its pointer array
+    (SparkOutOfMemoryError) before spilling could help. The wedge volume
+    is priced EXACTLY by one map-combined aggregate over the already-
+    persisted edges (sum d*(d-1)/2 — the same quantity the coefficient
+    reports as n_wedges), and the stream is explicitly hash-repartitioned
+    on the closing-edge keys to ~2M rows per task; EnsureRequirements
+    gives the edge side of the join the same width for free. When the
+    estimate fits the session default the repartition degenerates to the
+    exchange the join would have inserted anyway — same plan, no extra
+    shuffle."""
+    n_wedges = (
+        pairs.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
+        .first()[0]
+        or 0
+    )
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
+    parts = int(max(cores, min(4096, n_wedges // 2_000_000 + 1)))
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
+    wedges = (
         e1.join(
             e2,
             (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
         )
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .repartition(parts, "b", "c")
+    )
+    return wedges.join(
+        e3, (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c"))
+    ).select("a", "b", "c")
+
+
+@q("graph_triangles", _TRIANGLE_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the part co-purchase graph — the
+    clustering-coefficient numerator and the third iterative-graph member
+    next to CC and PageRank. Triangle enumeration and the wedge-width
+    policy live in ``_tri_stream``; the wedge join's cost concentrates on
+    high-degree vertices — at skewed scale the standard upgrade is
+    degree-ordering the orientation (wedge at the LOWEST-degree vertex)
+    which this id-ordering approximates."""
+    pairs = _copurchase_pairs(spark, sf_dir, "tri.pairs")
+    tri = _tri_stream(pairs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     nn = (
@@ -626,7 +666,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_COEFF_SQL = """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
              greatest(a.l_partkey, b.l_partkey) AS v
       FROM lineitem a JOIN lineitem b
@@ -644,8 +684,12 @@ _CLUSTER_COEFF_SQL = """
       JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
     ),
     per_node AS (
+      -- single-pass vertex credit via unnest, NOT a 3-way UNION ALL of
+      -- tri: DuckDB inlines CTEs per reference, so the union form runs
+      -- the 1.5B-row wedge join three times and blew the 40 GiB spill
+      -- cap at the sf3 rehearsal (mirrors the Spark side's explode)
       SELECT x AS node, CAST(count(*) AS BIGINT) AS n_triangles
-      FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      FROM (SELECT unnest([a, b, c]) AS x FROM tri)
       GROUP BY 1
     )
     SELECT d.node, d.deg,
@@ -663,45 +707,22 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     found once by the oriented wedge join are credited to all three
     vertices via a 3-way explode-and-count — one extra map-combined
     aggregate on top of graph_triangles' joins."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    pairs = scoped_persist(pairs, "ccoef.pairs", eager=True)
+    pairs = _copurchase_pairs(spark, sf_dir, "ccoef.pairs")
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(
-            e2,
-            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
-        )
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
-        )
-    )
+    # credit each triangle to all three vertices in ONE pass: explode is a
+    # pipelined generator feeding the partial agg in the same stage. The
+    # unionAll-of-three-selects form re-EXECUTES the unpersisted triangle
+    # join once per branch — and the branches run concurrently, so the sf3
+    # rehearsal had three 1.5B-row wedge sorts in flight at once and died
+    # of heap OOM where graph_triangles' single pass sailed through.
+    tri = _tri_stream(pairs)
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
