@@ -207,8 +207,8 @@ def connected_components_star(
     )
 
 
-_CC_CTES = """
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+_CC_EDGE_CTES = """
+WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
               FROM documents),
 sh0 AS (SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
@@ -226,19 +226,61 @@ edges AS MATERIALIZED (
   JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
   WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.2
 ),
-und AS MATERIALIZED (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges),
-rch AS (
-  SELECT a AS node, a AS label FROM und
-  UNION
-  SELECT u.a, r.label FROM und u JOIN rch r ON r.node = u.b
-)
+und0 AS MATERIALIZED (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges)
 """
 
-_CC_SQL = _CC_CTES + "SELECT node, MIN(label) AS component FROM rch GROUP BY node"
+CC_ORACLE_ROUNDS = 8
+
+
+def _cc_star_cte_chain(n_rounds: int = CC_ORACLE_ROUNDS) -> str:
+    """Bounded-round large-star/small-star replay of the Spark
+    ``connected_components_star`` rounds as chained CTEs, ending in
+    ``comp(node, component)``.
+
+    Replaces the recursive-CTE transitive closure (r6 verdict item 5): the
+    ``rch`` closure materializes O(sum |component|^2) (node, label) rows —
+    SUPER-LINEAR in the corpus on clone-dense data — and was ~80 % of the
+    sf3 rehearsal batch wall (41:45 for dedup_keep_best alone). The star
+    replay is the same fixed-round discipline the PageRank oracle uses:
+    each round is two group-min + join passes over a LINEAR edge set that
+    only contracts, so oracle cost scales with the engine's. Rounds past
+    the fixpoint are identity (the convergence criterion IS edge-set
+    stability, ``connected_components_star``), so any n_rounds >= the
+    engine's convergence round yields the identical labeling — and an
+    UNDER-provisioned round count diverges from Spark and fails the
+    hash gate loudly rather than silently. n_rounds=8 covers chain
+    components up to ~2^8 hops — far past anything a 0.2-Jaccard
+    threshold graph produces (sf3's adversarial 30-clone groups are
+    cliques: 2 rounds)."""
+    ctes = ["e0 AS (SELECT greatest(a, b) u, least(a, b) v FROM und0 WHERE a <> b)"]
+    for t in range(n_rounds):
+        ctes.append(
+            f"""u{t} AS (SELECT u a, v b FROM e{t} UNION SELECT v, u FROM e{t}),
+lm{t} AS (SELECT a, least(a, min(b)) m FROM u{t} GROUP BY a),
+ls{t} AS MATERIALIZED (SELECT DISTINCT n.b u, mn.m v
+        FROM u{t} n JOIN lm{t} mn USING (a) WHERE n.b > n.a AND n.b <> mn.m),
+so{t} AS (SELECT DISTINCT greatest(u, v) a, least(u, v) b FROM ls{t}),
+sm{t} AS (SELECT a, min(b) m FROM so{t} GROUP BY a),
+e{t + 1} AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+    SELECT o.b u, mn.m v FROM so{t} o JOIN sm{t} mn USING (a)
+    UNION ALL SELECT a, m FROM sm{t}) WHERE u <> v)"""
+        )
+    ctes.append(
+        f"""nodes AS (SELECT DISTINCT a AS node FROM und0),
+mapping AS (SELECT u AS node, min(v) AS component FROM e{n_rounds} GROUP BY u),
+comp AS (SELECT n.node, COALESCE(m.component, n.node) AS component
+         FROM nodes n LEFT JOIN mapping m USING (node))"""
+    )
+    return _CC_EDGE_CTES + ",\n" + ",\n".join(ctes)
+
+
+_CC_CTES = _cc_star_cte_chain()
+
+_CC_SQL = _CC_CTES + "\nSELECT node, component FROM comp"
 
 _KEEP_SQL = (
     _CC_CTES
-    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node)
+    + """
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS keep
@@ -274,8 +316,8 @@ def semantic_dedup_canonical(
 @q("dedup_connected_components", _CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the exact-Jaccard near-dup pairs (>= 0.2) into components.
-    Oracle: recursive CTE computing the same min-reachable-id labeling over
-    the same edges."""
+    Oracle: bounded-round large-star/small-star replay over the same edges
+    (``_cc_star_cte_chain``) — same labeling, linear per-round cost."""
     from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
 
     edges = jaccard_pairs(
@@ -438,8 +480,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text dedup deliverable: exact-Jaccard near-dup pairs
     (>= 0.2) -> connected components -> one keep per cluster, every corpus
-    doc present. Oracle: the CC recursive CTE extended with the same
-    canonical/keep projection."""
+    doc present. Oracle: the bounded-round star-replay CC chain extended
+    with the same canonical/keep projection."""
     from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
 
     docs = load(spark, sf_dir, "documents")
@@ -449,7 +491,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEEP_BEST_SQL = (
     _CC_CTES
-    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node),
+    + """,
 labeled AS MATERIALIZED (
   SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -508,7 +550,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_STATS_SQL = (
     _CC_CTES
-    + """, comp AS (SELECT node, MIN(label) AS component FROM rch GROUP BY node),
+    + """,
 labeled AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -596,48 +638,102 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame
 
 
 def _tri_stream(pairs: DataFrame) -> DataFrame:
-    """Canonically-oriented triangle stream (a < b < c): wedge at the
-    smallest vertex, then the closing edge — two equi-joins on the edge
-    relation, never an all-pairs product. Each triangle appears exactly
-    once.
+    """Degree-ordered triangle stream: each undirected edge is oriented
+    from its lower-(degree, id) endpoint to its higher one, wedges form at
+    the common SOURCE of two oriented edges, and the closing edge is
+    probed against the canonical (u < v) relation. Every triangle has
+    exactly one vertex whose oriented out-edges reach the other two (its
+    lowest-rank vertex), so each triangle appears exactly once. Columns
+    ``(a, b, c)`` where ``a`` is the pivot (lowest-rank) vertex and
+    ``b < c`` by id.
 
-    The wedge relation (all u<v<w with uv and uw edges) has
-    sum_u C(d_u, 2) rows — SUPER-LINEAR in edges — and the closing-edge
-    sort-merge join must sort it. A fixed ``spark.sql.shuffle.partitions``
-    cannot absorb a super-linear intermediate: the sf3 rehearsal (27M
-    edges -> ~600M wedges over 32 partitions) put ~19M rows through each
-    task's UnsafeExternalSorter, which died growing its pointer array
-    (SparkOutOfMemoryError) before spilling could help. The wedge volume
-    is priced EXACTLY by one map-combined aggregate over the already-
-    persisted edges (sum d*(d-1)/2 — the same quantity the coefficient
-    reports as n_wedges), and the stream is explicitly hash-repartitioned
-    on the closing-edge keys to ~2M rows per task; EnsureRequirements
-    gives the edge side of the join the same width for free. When the
-    estimate fits the session default the repartition degenerates to the
-    exchange the join would have inserted anyway — same plan, no extra
-    shuffle."""
+    Why degree ordering (r6 verdict item 3): with smallest-ID orientation
+    a single hot vertex of degree d contributes C(d, 2) wedges from ONE
+    join key, so per-key skew survives any total-width repartition. After
+    degree ordering, per-vertex oriented out-degree is bounded by
+    O(sqrt(m)) on any graph (the standard arboricity argument behind
+    compact-forward / Latapy's algorithm), which bounds per-key wedge
+    volume on power-law graphs too — the plan-level fix, with AQE
+    skew-split as backstop rather than primary defense.
+
+    The oriented wedge relation still has sum_u C(out_deg_u, 2) rows —
+    SUPER-LINEAR in edges — and the closing-edge sort-merge join must
+    sort it. A fixed ``spark.sql.shuffle.partitions`` cannot absorb a
+    super-linear intermediate: the sf3 rehearsal (36M edges -> 1.48B
+    wedges over 32 partitions, SURVEY §6) put tens of millions of rows
+    through each task's UnsafeExternalSorter, which died growing its
+    pointer array (SparkOutOfMemoryError) before spilling could help. So
+    the stream's width is PRICED first: one map-combined aggregate over
+    the oriented edges computes sum C(out_deg, 2) — the exact oriented
+    wedge count (a sizing quantity, NOT the per-node ``n_wedges`` =
+    C(full_degree, 2) the clustering coefficient reports) — and the
+    stream is explicitly hash-repartitioned on the closing-edge keys to
+    ~2M rows per task; EnsureRequirements gives the edge side of the join
+    the same width for free. When the estimate fits the session default
+    the repartition degenerates to the exchange the join would have
+    inserted anyway — same plan, no extra shuffle."""
+    spark = pairs.sparkSession
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge toward the higher-(degree, id) endpoint. Both
+    # degree lookups ride ONE equi-join each; the degree relation is tiny
+    # relative to edges (|V| vs |E|) and AQE broadcasts it when it fits.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = F.expr("du < dv OR (du = dv AND u < v)")
+    oriented = scoped_persist(
+        pairs.join(du, "u").join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ),
+        "tri.oriented",
+        eager=True,
+    )
     n_wedges = (
-        pairs.groupBy("u")
+        oriented.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
         .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
         .first()[0]
         or 0
     )
-    cores = pairs.sparkSession.sparkContext.defaultParallelism
-    parts = int(max(cores, min(4096, n_wedges // 2_000_000 + 1)))
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    cores = spark.sparkContext.defaultParallelism
+    want = n_wedges // 2_000_000 + 1
+    parts = int(max(cores, min(4096, want)))
+    if want > 4096:
+        # the ~2M-rows/task target is abandoned past ~8.2B wedges (ADVICE
+        # r6): say so loudly rather than silently reintroducing the
+        # per-task sorter-growth OOM mode at that scale
+        import warnings
+
+        warnings.warn(
+            f"_tri_stream: wedge estimate {n_wedges:,} needs {want} "
+            "partitions but is capped at 4096 (~"
+            f"{n_wedges // 4096 / 1e6:.1f}M rows/task); raise the cap or "
+            "executor memory beyond this scale",
+            stacklevel=2,
+        )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
         e1.join(
             e2,
-            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+            (F.col("e2.src") == F.col("e1.src"))
+            & (F.col("e2.dst") > F.col("e1.dst")),
         )
         .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
         .repartition(parts, "b", "c")
     )
+    # closing edge probed against the canonical u<v relation: b < c by
+    # construction, so (b, c) is already canonical
+    e3 = pairs.alias("e3")
     return wedges.join(
         e3, (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c"))
     ).select("a", "b", "c")
@@ -648,10 +744,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the part co-purchase graph — the
     clustering-coefficient numerator and the third iterative-graph member
     next to CC and PageRank. Triangle enumeration and the wedge-width
-    policy live in ``_tri_stream``; the wedge join's cost concentrates on
-    high-degree vertices — at skewed scale the standard upgrade is
-    degree-ordering the orientation (wedge at the LOWEST-degree vertex)
-    which this id-ordering approximates."""
+    policy live in ``_tri_stream``: edges are oriented by (degree, id) so
+    wedges form at each triangle's lowest-DEGREE vertex, bounding per-key
+    wedge volume on power-law graphs (r6 verdict item 3)."""
     pairs = _copurchase_pairs(spark, sf_dir, "tri.pairs")
     tri = _tri_stream(pairs).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

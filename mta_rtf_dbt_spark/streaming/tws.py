@@ -130,6 +130,40 @@ def _probe_protobuf() -> bool:
         return False
 
 
+def _version_skew_ok(max_minor_gap: int = 1) -> bool:
+    """True iff the Spark gencode's protobuf version and the loaded runtime
+    are the same MAJOR and within ``max_minor_gap`` minors of each other.
+
+    The vendored-runtime path below disables protobuf's own version check
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) for a one-minor
+    gencode(6.33) > runtime(6.32) skew that is wire-format-safe. That
+    escape hatch would also silently mask a REAL incompatibility if a
+    future Spark bump jumps the gencode (r6 verdict item 6) — so the skew
+    is measured explicitly and the hatch refuses to ride beyond ±1 minor.
+    Gencode version read from the pb2 module's stamped header comment
+    (``# Protobuf Python Version: X.Y.Z`` — emitted by protoc for every
+    generated file); unparsable versions fail closed."""
+    import re
+
+    try:
+        import inspect
+
+        import google.protobuf as gp
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        m = re.search(
+            r"#\s*Protobuf Python Version:\s*(\d+)\.(\d+)\.", inspect.getsource(sm)
+        )
+        r = re.match(r"(\d+)\.(\d+)\.", gp.__version__)
+        if not m or not r:
+            return False
+        gmaj, gmin = int(m.group(1)), int(m.group(2))
+        rmaj, rmin = int(r.group(1)), int(r.group(2))
+        return gmaj == rmaj and abs(gmin - rmin) <= max_minor_gap
+    except Exception:
+        return False
+
+
 def _ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable, vendoring from a system SDK tree
     if needed (driver side; worker propagation is via the UDF env)."""
@@ -143,6 +177,7 @@ def _ensure_protobuf() -> bool:
         # runtime(6.32) minor-version skew — within the wire-format
         # cross-version guarantee; the real TWS path is oracle-verified
         # end-to-end under this setting (tests/test_streaming.py).
+        # _version_skew_ok below bounds how far the hatch may stretch.
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         if vendor not in sys.path:
             sys.path.append(vendor)
@@ -154,6 +189,27 @@ def _ensure_protobuf() -> bool:
             if _probe_protobuf():
                 import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
+                if not _version_skew_ok():
+                    # loud by design, but NOT a module-import crash (this
+                    # runs at import): un-vendor, drop the escape hatch,
+                    # warn, and let tws_available() report False so the
+                    # applyInPandasWithState fallback takes over
+                    import warnings
+
+                    sys.path.remove(vendor)
+                    os.environ.pop(
+                        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+                    )
+                    warnings.warn(
+                        "vendored protobuf runtime is more than one minor "
+                        "version from Spark's gencode — the version-check "
+                        "escape hatch is only safe for +/-1 minor; update "
+                        f"the vendored runtime at {vendor} or pip-install a "
+                        "matching protobuf. Falling back to the non-TWS "
+                        "stateful path.",
+                        stacklevel=2,
+                    )
+                    return False
                 _PROTOBUF_VENDOR_USED = vendor
                 return True
         except Exception:
