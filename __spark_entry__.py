@@ -74,73 +74,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # first for periodic re-verification. The tail is entries green in the most
 # recent window (r3) — they yield the window to first-checks.
 _PRIORITY = [
-    # ---- r6 rotation (r5 verdict item 1): the 47 oracle-backed entries
-    #      that have NEVER had an external driver row fill the entire
-    #      ~50-entry window. Nothing is queued ahead of them. Within the
-    #      cohort, the three whose BEHAVIOR changed this round lead (a
-    #      stale local green is worthless the moment the code moves):
-    #      mix_temperature_sample (r5 ADVICE medium: keep_ppm scale bug —
-    #      rate math now pure integer), a_mad_outliers (micro-integerized
-    #      3-MAD compare), stream_agg_maintenance (atomic state+marker
-    #      swap). ----
-    "mix_temperature_sample",
-    "a_mad_outliers",
-    "stream_agg_maintenance",
-    # -- never-driver-checked remainder (r5 waves; hash-green in the local
-    #    sf0.01 + sf0.1 replicas; first driver row lands in r6) --
-    "curriculum_shard_plan",
-    "pack_boundaries",
-    "a_histogram_equidepth",
-    "m1_gapfill_interpolate",
-    "layout_compaction_plan",
-    "m_anomaly_rolling_zscore",
-    "mix_epoch_upsample",
-    "dedup_keep_best",
-    "multimodal_image_meta",
-    "sample_group_kfold",
-    "dq_schema_contract",
-    "text_bm25_topk",
-    "incremental_join_maintenance",
-    "j_null_safe_join",
-    "f_array_hof_pack",
-    "s6_cdc_diff",
-    "lm_ccnet_buckets",
-    "dedup_cluster_stats",
-    "a_dp_noisy_counts",
-    "a_k_anonymity_audit",
+    # ---- r7 rotation (r6 verdict item 1): with the never-checked backlog
+    #      cleared in r6 (220/220 oracle-backed entries cumulatively
+    #      driver-green), the window finally reaches step (d) — periodic
+    #      re-verification, stalest first. Step (a) still leads: the three
+    #      entries whose BEHAVIOR changed this round (a stale green is
+    #      worthless the moment the code moves): graph_triangles /
+    #      graph_clustering_coeff (degree-ordered wedge orientation, r6
+    #      verdict item 3) and dedup_keep_best (bounded-round large-star/
+    #      small-star oracle replacing the recursive CTE, r6 verdict
+    #      item 5). ----
     "graph_triangles",
-    "a_attribution_last_touch",
-    "source_json_corrupt_records",
-    "a_running_distinct_users",
     "graph_clustering_coeff",
-    "j_asof_tolerance",
-    "dq_join_fanout",
-    "a_winsorize_census",
-    "a_label_entropy",
-    "geo_nearest_stop",
-    "geo_geohash_stops",
-    "a_ewma_smoothed",
-    "a_market_basket_rules",
-    "text_phrase_search",
-    "a_concurrency_sweepline",
-    "embedding_dim_stats",
-    "layout_backfill_plan",
-    "ann_hard_negatives",
-    "lm_vocab_drift_kl",
-    "text_url_domains",
-    "a_event_transitions",
-    "a_conversion_wilson",
-    "a_benford_digits",
-    "m_feed_gap_detection",
-    # -- rows-only entries round out the window (weaker driver check either
-    #    way; python-recompute or property tests locally) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # ---- ~position 50: the driver's check window ends here. Below:
-    #      stalest-green first for periodic re-verification (r5 verdict
-    #      item 4 — these 41 entries' only driver row is r1 and lead the
-    #      r7 window). ----
+    "dedup_keep_best",
+    # the other three entries sharing the CC oracle chain (same bounded-
+    # round replay replaced their recursive CTE) — oracle changed, so
+    # step (a) applies to them too
+    "dedup_connected_components",
+    "dedup_keep_list",
+    "dedup_cluster_stats",
+    # -- step (d): the 40 entries whose only driver-green row is ROUND 1
+    #    — five rounds stale, the oldest external signal in the registry.
+    #    All pass the in-repo sf0.01 parity replica continuously. --
     "j4_dim_double_alias_star",
     "j5_j7_using_cast_key",
     "j6_banded_range_join",
@@ -183,56 +138,23 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
-    # -- green in the r4 window (most recently verified — tail) --
-    "a678_counts_rates",
-    "m9_analog_completeness",
-    "mta_fact_trips_stops",
-    "mta_fact_trips",
-    "mta_fact_delays",
-    "mta_fact_alerts",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "scd2_history_events",
-    "incremental_agg_merge",
-    "j_asof_latest_order",
-    "a_heavy_hitters",
-    "udtf_sentence_segments",
-    "w6_value_functions",
-    "text_line_dedup",
-    "dedup_keep_list",
-    "corpus_shard_plan",
-    "shard_write_roundtrip",
-    "j_salted_skew_join",
-    "w_hopping_windows",
-    "source_orc_roundtrip",
-    "dedup_edit_distance",
-    "m1_gapfill_spine",
-    "stream_hopping_windows",
-    "a_mode_top_actor",
-    "o_limit_offset_page",
-    "text_fingerprint_rolling",
-    "multimodal_audio_energy",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "corpus_curation_pipeline",
-    "q1_pricing_summary",
-    "p1_project_rename_filter",
-    "p456_predicates_case",
-    "j1_inner_join_agg",
-    "j2_left_broadcast_dims",
-    "j3_join_preagg_child",
-    # -- green in the r3 window --
+    # -- rows-only entries (weaker driver count-check either way;
+    #    python-recompute or property tests locally) --
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- the window's last slot: the stalest r3-green entry rounds out
+    #    position ~50 --
     "m3_analog_service_delivered",
+    # ---- ~position 50: the driver's check window ends here. Below:
+    #      remaining cohorts stalest-first (r3, then r4, then r5, then the
+    #      r6-green cohort — externally verified last round — deepest). --
     "m11_analog_latency",
     "corpus_ngram_counts",
     "lm_unigram_scores",
     "text_winnow_fingerprints",
     "zorder_values_orders",
     "dedup_exact",
-    "dedup_connected_components",
     "knn_brute_force_cosine",
     "ann_lsh_cosine",
     "embedding_near_dup",
@@ -268,8 +190,47 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
-    # -- green in the r5 window (CORRECTNESS_r05: 50/50 hash-green — the
-    #    most recently externally verified cohort; deepest tail) --
+    # -- green in the r4 window --
+    "a678_counts_rates",
+    "m9_analog_completeness",
+    "mta_fact_trips_stops",
+    "mta_fact_trips",
+    "mta_fact_delays",
+    "mta_fact_alerts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "scd2_history_events",
+    "incremental_agg_merge",
+    "j_asof_latest_order",
+    "a_heavy_hitters",
+    "udtf_sentence_segments",
+    "w6_value_functions",
+    "text_line_dedup",
+    "corpus_shard_plan",
+    "shard_write_roundtrip",
+    "j_salted_skew_join",
+    "w_hopping_windows",
+    "source_orc_roundtrip",
+    "dedup_edit_distance",
+    "m1_gapfill_spine",
+    "stream_hopping_windows",
+    "a_mode_top_actor",
+    "o_limit_offset_page",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "corpus_curation_pipeline",
+    "q1_pricing_summary",
+    "p1_project_rename_filter",
+    "p456_predicates_case",
+    "j1_inner_join_agg",
+    "j2_left_broadcast_dims",
+    "j3_join_preagg_child",
+    # -- green in the r5 window --
     "a_array_agg_sorted",
     "a_salted_skew_agg",
     "a_histogram_values",
@@ -320,6 +281,52 @@ _PRIORITY = [
     "a_skew_report",
     "mta_dq_checks",
     "j_full_outer_reconcile",
+    # -- green in the r6 window (CORRECTNESS_r06: 47/50 hash-green + 3
+    #    rows-only — the most recently externally verified cohort; the
+    #    three behavior-changed members lead the r7 window above) --
+    "mix_temperature_sample",
+    "a_mad_outliers",
+    "stream_agg_maintenance",
+    "curriculum_shard_plan",
+    "pack_boundaries",
+    "a_histogram_equidepth",
+    "m1_gapfill_interpolate",
+    "layout_compaction_plan",
+    "m_anomaly_rolling_zscore",
+    "mix_epoch_upsample",
+    "multimodal_image_meta",
+    "sample_group_kfold",
+    "dq_schema_contract",
+    "text_bm25_topk",
+    "incremental_join_maintenance",
+    "j_null_safe_join",
+    "f_array_hof_pack",
+    "s6_cdc_diff",
+    "lm_ccnet_buckets",
+    "a_dp_noisy_counts",
+    "a_k_anonymity_audit",
+    "a_attribution_last_touch",
+    "source_json_corrupt_records",
+    "a_running_distinct_users",
+    "j_asof_tolerance",
+    "dq_join_fanout",
+    "a_winsorize_census",
+    "a_label_entropy",
+    "geo_nearest_stop",
+    "geo_geohash_stops",
+    "a_ewma_smoothed",
+    "a_market_basket_rules",
+    "text_phrase_search",
+    "a_concurrency_sweepline",
+    "embedding_dim_stats",
+    "layout_backfill_plan",
+    "ann_hard_negatives",
+    "lm_vocab_drift_kl",
+    "text_url_domains",
+    "a_event_transitions",
+    "a_conversion_wilson",
+    "a_benford_digits",
+    "m_feed_gap_detection",
 ]
 
 

