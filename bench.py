@@ -99,6 +99,9 @@ def main() -> None:
         "a_cms_portable",          # mergeable count-min sketch column
         "bpe_train_merges",        # 8-round distributed BPE training loop
         "graph_pagerank",          # 3-round integer PageRank over the trade graph
+        # round-7 additions (first benched in r7 — behavior changed this round)
+        "graph_triangles",         # degree-ordered wedge join + priced width
+        "dedup_keep_best",         # CC star rounds + per-cluster argmax
     ]
 
     # untimed warmup: run every headline shape once at the smallest SF so

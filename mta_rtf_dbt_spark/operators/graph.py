@@ -210,15 +210,19 @@ def connected_components_star(
 _CC_EDGE_CTES = """
 WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
               FROM documents),
-sh0 AS (SELECT DISTINCT doc_id,
+sh0 AS MATERIALIZED (SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
        FROM toks WHERE len(arr) >= 3),
-sh AS MATERIALIZED (SELECT doc_id, shingle FROM (
-         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-         FROM sh0) WHERE df < 1000),
+-- df filter as a grouped semi-join, NOT count(*) OVER (PARTITION BY shingle):
+-- the window form sorts the full 22M-row shingle stream (sf3) in one
+-- operator and its memory rides the same budget as the posting join below;
+-- group-then-join keeps the same df<1000 semantics at a fraction of the
+-- working set (the r7 sf3 sweep hit the 40GiB oracle spill cap here)
+df AS MATERIALIZED (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) < 1000),
+sh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh0 s JOIN df USING (shingle)),
 cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+pairs AS MATERIALIZED (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 edges AS MATERIALIZED (
@@ -252,14 +256,20 @@ def _cc_star_cte_chain(n_rounds: int = CC_ORACLE_ROUNDS) -> str:
     components up to ~2^8 hops — far past anything a 0.2-Jaccard
     threshold graph produces (sf3's adversarial 30-clone groups are
     cliques: 2 rounds)."""
-    ctes = ["e0 AS (SELECT greatest(a, b) u, least(a, b) v FROM und0 WHERE a <> b)"]
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT greatest(a, b) u, least(a, b) v"
+        " FROM und0 WHERE a <> b)"
+    ]
     for t in range(n_rounds):
+        # every multi-referenced CTE is MATERIALIZED: DuckDB inlines plain
+        # CTEs per reference, so an unmarked u{t}/so{t} would execute twice
+        # per round (the union-of-selects re-execution failure mode)
         ctes.append(
-            f"""u{t} AS (SELECT u a, v b FROM e{t} UNION SELECT v, u FROM e{t}),
+            f"""u{t} AS MATERIALIZED (SELECT u a, v b FROM e{t} UNION SELECT v, u FROM e{t}),
 lm{t} AS (SELECT a, least(a, min(b)) m FROM u{t} GROUP BY a),
 ls{t} AS MATERIALIZED (SELECT DISTINCT n.b u, mn.m v
         FROM u{t} n JOIN lm{t} mn USING (a) WHERE n.b > n.a AND n.b <> mn.m),
-so{t} AS (SELECT DISTINCT greatest(u, v) a, least(u, v) b FROM ls{t}),
+so{t} AS MATERIALIZED (SELECT DISTINCT greatest(u, v) a, least(u, v) b FROM ls{t}),
 sm{t} AS (SELECT a, min(b) m FROM so{t} GROUP BY a),
 e{t + 1} AS MATERIALIZED (SELECT DISTINCT u, v FROM (
     SELECT o.b u, mn.m v FROM so{t} o JOIN sm{t} mn USING (a)
