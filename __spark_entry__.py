@@ -93,6 +93,10 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_keep_list",
     "dedup_cluster_stats",
+    # q17's released average became exact integer micro-units after the
+    # sf3 rehearsal caught an engine-rounding divergence (ROUND(double)
+    # half-boundary ulp) — behavior changed, step (a)
+    "q17_small_quantity_revenue",
     # -- step (d): the 40 entries whose only driver-green row is ROUND 1
     #    — five rounds stale, the oldest external signal in the registry.
     #    All pass the in-repo sf0.01 parity replica continuously. --
@@ -201,7 +205,6 @@ _PRIORITY = [
     "q8_market_share",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "scd2_history_events",
     "incremental_agg_merge",
     "j_asof_latest_order",

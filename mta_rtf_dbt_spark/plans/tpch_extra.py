@@ -678,7 +678,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7, 6) AS avg_yearly,
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) * 100 // 7 AS BIGINT) AS avg_yearly_micros,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -690,8 +690,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 analog: the correlated per-part AVG subquery decorrelates to
     a pre-aggregated join (the J3 shape) — per-part averages computed once,
     joined back on partkey. The comparison predicate is a single IEEE
-    multiply+compare of identical operands on both engines; the money sum is
-    DECIMAL with one final division."""
+    multiply+compare of identical operands on both engines. The released
+    average is EXACT integer micro-units (floor(sum/7 * 1e6)): the r7 sf3
+    rehearsal caught ROUND(double, 6) flipping the last digit between
+    engines when sum/7 lands within an ulp of a half boundary (Spark
+    rounds via BigDecimal HALF_UP, DuckDB via a multiply-based double
+    path) — the same engine-rounding divergence family as q1's 2^53 fix;
+    integer division is the D-ledger-safe release."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
@@ -702,10 +707,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pavg, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7, 6
-            ).alias("avg_yearly"),
+            F.sum(_dec(F.col("l_extendedprice"))).alias("__sum_dec"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(__sum_dec * 10000 AS BIGINT) * 100 div 7 AS BIGINT)"
+            ).alias("avg_yearly_micros"),
+            "n_lines",
         )
     )
 
