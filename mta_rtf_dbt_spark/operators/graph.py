@@ -222,7 +222,12 @@ sh0 AS MATERIALIZED (SELECT DISTINCT doc_id,
 df AS MATERIALIZED (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) < 1000),
 sh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh0 s JOIN df USING (shingle)),
 cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-pairs AS MATERIALIZED (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+-- pairs is single-reference and must stay INLINED: materialized, DuckDB
+-- buffers the full candidate-pair aggregate (the df<1000 cap admits
+-- ~990-doc shingles at sf3's 30x duplication -> ~C(990,2) pairs each,
+-- billions of rows) instead of streaming it into the jaccard filter
+-- below, which discards all but the >=0.2 edges — r7 sf3 OOM
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 edges AS MATERIALIZED (
