@@ -74,85 +74,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # first for periodic re-verification. The tail is entries green in the most
 # recent window (r3) — they yield the window to first-checks.
 _PRIORITY = [
-    # ---- r7 rotation (r6 verdict item 1): with the never-checked backlog
-    #      cleared in r6 (220/220 oracle-backed entries cumulatively
-    #      driver-green), the window finally reaches step (d) — periodic
-    #      re-verification, stalest first. Step (a) still leads: the three
-    #      entries whose BEHAVIOR changed this round (a stale green is
-    #      worthless the moment the code moves): graph_triangles /
-    #      graph_clustering_coeff (degree-ordered wedge orientation, r6
-    #      verdict item 3) and dedup_keep_best (bounded-round large-star/
-    #      small-star oracle replacing the recursive CTE, r6 verdict
-    #      item 5). ----
-    "graph_triangles",
-    "graph_clustering_coeff",
-    "dedup_keep_best",
-    # the other three entries sharing the CC oracle chain (same bounded-
-    # round replay replaced their recursive CTE) — oracle changed, so
-    # step (a) applies to them too
+    # ---- r8 rotation (r7 verdict item 2): the window is the r3-stale
+    #      cohort — 42 entries whose latest external driver row is round 3
+    #      (4 rounds old) plus the four mta_fact_* models. Step (a) still
+    #      leads: the four CC-chain entries' ORACLE changed this round
+    #      (r7 ADVICE — sm{t} MATERIALIZED + an in-SQL fixpoint assertion
+    #      so an under-provisioned round count errors as an oracle problem
+    #      instead of a hash mismatch), and a stale green is worthless the
+    #      moment the oracle moves. Engine side untouched. ----
     "dedup_connected_components",
     "dedup_keep_list",
+    "dedup_keep_best",
     "dedup_cluster_stats",
-    # q17's released average became exact integer micro-units after the
-    # sf3 rehearsal caught an engine-rounding divergence (ROUND(double)
-    # half-boundary ulp) — behavior changed, step (a)
-    "q17_small_quantity_revenue",
-    # -- step (d): the 40 entries whose only driver-green row is ROUND 1
-    #    — five rounds stale, the oldest external signal in the registry.
+    # -- step (d): the r3-green cohort, stalest external signal in the
+    #    registry (m3_analog was cut from the r7 window at position 51).
     #    All pass the in-repo sf0.01 parity replica continuously. --
-    "j4_dim_double_alias_star",
-    "j5_j7_using_cast_key",
-    "j6_banded_range_join",
-    "a3_any_value_det",
-    "a5_argmin_argmax",
-    "a9_percentiles",
-    "w2_dedup_latest_per_user",
-    "w3_lag_headway",
-    "o1_topk_orders",
-    "set_ops",
-    "s7_inline_unnest",
-    "f_string_hash_pack",
-    "f_datetime_pack",
-    "f_gtfs_clock_overflow",
-    "j_semi_anti",
-    "a_rollup",
-    "a_grouping_sets",
-    "a_pivot_status_by_priority",
-    "a_unpivot_measures",
-    "w4_rank_pack",
-    "f_json_map_pack",
-    "f_map_construct_explode",
-    # -- r1-green metric analogs (stale since r1) --
-    "m1_analog_actors_per_minute",
-    "m2_analog_5min_buckets",
-    "m4_analog_terminal_otp",
-    "m5_analog_headways",
-    "m6_analog_dwell",
-    "m7_analog_run_time",
-    "m8_analog_excess_delay",
-    "m10_analog_added_share",
-    "m12_analog_wait_assessment",
-    # -- r1-green TPC-H spread (stale since r1) --
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    # -- rows-only entries (weaker driver count-check either way;
-    #    python-recompute or property tests locally) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- the window's last slot: the stalest r3-green entry rounds out
-    #    position ~50 --
     "m3_analog_service_delivered",
-    # ---- ~position 50: the driver's check window ends here. Below:
-    #      remaining cohorts stalest-first (r3, then r4, then r5, then the
-    #      r6-green cohort — externally verified last round — deepest). --
     "m11_analog_latency",
     "corpus_ngram_counts",
     "lm_unigram_scores",
@@ -194,13 +131,22 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
-    # -- green in the r4 window --
-    "a678_counts_rates",
-    "m9_analog_completeness",
+    # -- the four MTA fact models (named in the r7 verdict's stale list) —
+    #    round out the 50-entry window exactly --
     "mta_fact_trips_stops",
     "mta_fact_trips",
     "mta_fact_delays",
     "mta_fact_alerts",
+    # ---- position 50: the driver's check window ends here. Below:
+    #      rows-only entries (weaker count-check either way, re-rowed r7),
+    #      then remaining cohorts stalest-first (r4, r5, r6; the r7-green
+    #      cohort — externally verified last round — deepest). ----
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- green in the r4 window --
+    "a678_counts_rates",
+    "m9_analog_completeness",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_distribution",
@@ -330,6 +276,53 @@ _PRIORITY = [
     "a_conversion_wilson",
     "a_benford_digits",
     "m_feed_gap_detection",
+    # -- green in the r7 window (CORRECTNESS_r07: 47/50 hash-green; the
+    #    most recently externally verified cohort sits deepest — except
+    #    the four CC-chain entries leading the r8 window above, whose
+    #    oracle moved again) --
+    "graph_triangles",
+    "graph_clustering_coeff",
+    "q17_small_quantity_revenue",
+    "j4_dim_double_alias_star",
+    "j5_j7_using_cast_key",
+    "j6_banded_range_join",
+    "a3_any_value_det",
+    "a5_argmin_argmax",
+    "a9_percentiles",
+    "w2_dedup_latest_per_user",
+    "w3_lag_headway",
+    "o1_topk_orders",
+    "set_ops",
+    "s7_inline_unnest",
+    "f_string_hash_pack",
+    "f_datetime_pack",
+    "f_gtfs_clock_overflow",
+    "j_semi_anti",
+    "a_rollup",
+    "a_grouping_sets",
+    "a_pivot_status_by_priority",
+    "a_unpivot_measures",
+    "w4_rank_pack",
+    "f_json_map_pack",
+    "f_map_construct_explode",
+    "m1_analog_actors_per_minute",
+    "m2_analog_5min_buckets",
+    "m4_analog_terminal_otp",
+    "m5_analog_headways",
+    "m6_analog_dwell",
+    "m7_analog_run_time",
+    "m8_analog_excess_delay",
+    "m10_analog_added_share",
+    "m12_analog_wait_assessment",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

@@ -275,16 +275,30 @@ lm{t} AS (SELECT a, least(a, min(b)) m FROM u{t} GROUP BY a),
 ls{t} AS MATERIALIZED (SELECT DISTINCT n.b u, mn.m v
         FROM u{t} n JOIN lm{t} mn USING (a) WHERE n.b > n.a AND n.b <> mn.m),
 so{t} AS MATERIALIZED (SELECT DISTINCT greatest(u, v) a, least(u, v) b FROM ls{t}),
-sm{t} AS (SELECT a, min(b) m FROM so{t} GROUP BY a),
+sm{t} AS MATERIALIZED (SELECT a, min(b) m FROM so{t} GROUP BY a),
 e{t + 1} AS MATERIALIZED (SELECT DISTINCT u, v FROM (
     SELECT o.b u, mn.m v FROM so{t} o JOIN sm{t} mn USING (a)
     UNION ALL SELECT a, m FROM sm{t}) WHERE u <> v)"""
         )
     ctes.append(
         f"""nodes AS (SELECT DISTINCT a AS node FROM und0),
+-- fixpoint assertion (r7 ADVICE): rounds past convergence are identity, so
+-- e{n_rounds} == e{n_rounds - 1} iff CC_ORACLE_ROUNDS was enough. If not, error()
+-- HERE so an under-provisioned round count surfaces as a loud ORACLE
+-- failure, never a confusing engine hash-mismatch (both e-sets are
+-- MATERIALIZED and distinct, so equal count + empty one-way EXCEPT
+-- proves set equality with two linear scans)
+fixpoint AS (SELECT CASE WHEN
+    (SELECT count(*) FROM e{n_rounds}) = (SELECT count(*) FROM e{n_rounds - 1})
+    AND NOT EXISTS (SELECT 1 FROM (SELECT u, v FROM e{n_rounds}
+                                   EXCEPT SELECT u, v FROM e{n_rounds - 1}))
+  THEN 1 ELSE error('CC oracle: CC_ORACLE_ROUNDS={n_rounds} did not reach '
+                    'edge-set fixpoint — raise the round count (oracle '
+                    'problem, not an engine mismatch)') END AS ok),
 mapping AS (SELECT u AS node, min(v) AS component FROM e{n_rounds} GROUP BY u),
 comp AS (SELECT n.node, COALESCE(m.component, n.node) AS component
-         FROM nodes n LEFT JOIN mapping m USING (node))"""
+         FROM nodes n LEFT JOIN mapping m USING (node)
+         WHERE (SELECT ok FROM fixpoint) = 1)"""
     )
     return _CC_EDGE_CTES + ",\n" + ",\n".join(ctes)
 

@@ -178,6 +178,9 @@ def _ensure_protobuf() -> bool:
         # cross-version guarantee; the real TWS path is oracle-verified
         # end-to-end under this setting (tests/test_streaming.py).
         # _version_skew_ok below bounds how far the hatch may stretch.
+        # remember whether WE set the hatch: a user-exported value must
+        # survive the rejection path below (pop would silently delete it)
+        _hatch_was_ours = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         if vendor not in sys.path:
             sys.path.append(vendor)
@@ -197,9 +200,22 @@ def _ensure_protobuf() -> bool:
                     import warnings
 
                     sys.path.remove(vendor)
-                    os.environ.pop(
-                        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
-                    )
+                    if _hatch_was_ours:
+                        os.environ.pop(
+                            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+                        )
+                    # the vendored tree's modules are already cached; leave
+                    # them importable for OTHER importers and sys.modules
+                    # would hand out the rejected runtime — purge them so
+                    # the next import re-resolves against the cleaned path
+                    for mod in [
+                        m
+                        for m in sys.modules
+                        if m == "google"
+                        or m.startswith("google.")
+                        or m.endswith("StateMessage_pb2")
+                    ]:
+                        del sys.modules[mod]
                     warnings.warn(
                         "vendored protobuf runtime is more than one minor "
                         "version from Spark's gencode — the version-check "

@@ -4,15 +4,24 @@
 Runs the full oracle-parity suite at a scale-rehearsal SF in BATCHES, each in
 a FRESH pytest process (fresh JVM): one executor heap OOM poisons a shared
 local JVM and every later entry fails with py4j connection errors, so batch
-isolation is what makes a sweep's failures attributable. Entries that fail
-inside a batch are automatically re-run ALONE in their own fresh session
-before being recorded as real failures (the JVM-poisoning replay rule).
+isolation is what makes a sweep's failures attributable. Entries that don't
+earn an explicit PASSED line inside a batch are automatically re-run ALONE in
+their own fresh session before being recorded as real failures (the
+JVM-poisoning replay rule).
+
+Accounting is POSITIVE (r7 ADVICE): an entry counts as green only if pytest
+printed ``PASSED ...[entry]`` for it (``-rA``) or its solo replay exits 0.
+``ERROR`` summary lines, batch timeouts, and entries a crashed batch never
+reached are all replayed — never silently assumed green.
 
 Usage:
     python tools/run_rehearsal.py /tmp/sf3 [batch_size] [out.json] [only,...]
 
 Results stream to the JSON log after every batch, so a killed sweep keeps
-its partial tally.
+its partial tally. The default output lives IN THE REPO
+(``rehearsals/rehearsal_<tag>.json`` — r7 verdict item 1: /tmp artifacts
+died with the round and left sf3 claims unevidenced), and the summary
+records the ``only`` list so partial reruns are self-describing.
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ BATCH_TIMEOUT = 5400  # seconds; generous — a wedged JVM should not stall the 
 
 def _run(ids: list[str], env: dict) -> subprocess.CompletedProcess:
     return subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "--no-header", *ids],
+        [sys.executable, "-m", "pytest", "-q", "-rA", "--no-header", *ids],
         env=env,
         cwd=REPO,
         capture_output=True,
@@ -43,22 +52,36 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf3"
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 18
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out_path = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/rehearsal_{tag}.json"
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    out_path = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(REPO, "rehearsals", f"rehearsal_{tag}.json")
+    )
+    only = sorted(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
 
     names = sorted(e.queries())
     if only:
-        unknown = only - set(names)
+        unknown = set(only) - set(names)
         if unknown:
             print(f"unknown entries: {sorted(unknown)}", file=sys.stderr)
             return 2
-        names = [n for n in names if n in only]
+        names = [n for n in names if n in set(only)]
 
     env = dict(os.environ, ORACLE_PARITY_SF=sf_dir)
-    results: dict = {"sf_dir": sf_dir, "batches": {}, "failed": [], "passed": 0}
+    results: dict = {
+        "sf_dir": sf_dir,
+        "only": only,  # None == full registry; else the partial-rerun slice
+        "n_requested": len(names),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "wall_start_unix": round(time.time(), 1),
+        "batches": {},
+        "failed": [],
+        "passed": 0,
+    }
     t_start = time.monotonic()
     for i in range(0, len(names), batch_size):
         batch = names[i : i + batch_size]
@@ -70,13 +93,16 @@ def main() -> int:
             p = _run(ids, env)
             rc, out = p.returncode, p.stdout + p.stderr
         except subprocess.TimeoutExpired as ex:
-            rc, out = -9, (ex.stdout or "") + "\n<batch timeout>"
+            rc, out = -9, ((ex.stdout or "") if isinstance(ex.stdout, str) else "") + "\n<batch timeout>"
         dt = round(time.monotonic() - t0, 1)
-        failed = re.findall(r"FAILED [^\[]*\[([^\]]+)\]", out)
-        if rc != 0 and not failed:
-            failed = list(batch)  # crashed before reporting — replay all
+        # positive accounting: only an explicit PASSED line is green in-batch;
+        # FAILED/ERROR ids and anything unaccounted (timeout mid-batch,
+        # collection crash, skipped reporting) go to the solo-replay queue
+        passed_ids = set(re.findall(r"PASSED [^\[]*\[([^\]]+)\]", out))
+        failed_ids = set(re.findall(r"(?:FAILED|ERROR) [^\[]*\[([^\]]+)\]", out))
+        replay = [n for n in batch if n not in passed_ids]
         retried_ok, real_fail = [], []
-        for name in failed:
+        for name in replay:
             # JVM-poisoning replay: alone, in a fresh session
             try:
                 rp = _run(
@@ -85,7 +111,9 @@ def main() -> int:
                 )
                 (retried_ok if rp.returncode == 0 else real_fail).append(name)
                 if rp.returncode != 0:
-                    results.setdefault("fail_tails", {})[name] = rp.stdout[-3000:]
+                    results.setdefault("fail_tails", {})[name] = (
+                        rp.stdout + rp.stderr
+                    )[-3000:]
             except subprocess.TimeoutExpired:
                 real_fail.append(name)
                 results.setdefault("fail_tails", {})[name] = "<solo timeout>"
@@ -95,7 +123,9 @@ def main() -> int:
         results["batches"][f"b{i // batch_size:02d}"] = {
             "entries": batch,
             "sec": dt,
-            "ok": rc == 0,
+            "rc": rc,
+            "passed_in_batch": sorted(passed_ids & set(batch)),
+            "flagged_in_batch": sorted(failed_ids & set(batch)),
             "retried_ok": retried_ok,
             "failed": real_fail,
         }
@@ -107,11 +137,12 @@ def main() -> int:
             flush=True,
         )
         results["total_sec"] = round(time.monotonic() - t_start, 1)
+        results["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         with open(out_path, "w") as fh:
             json.dump(results, fh, indent=1)
     print(
         f"done: {results['passed']}/{len(names)} green in "
-        f"{results['total_sec']}s -> {out_path}",
+        f"{results.get('total_sec', 0)}s -> {out_path}",
         flush=True,
     )
     return 1 if results["failed"] else 0
