@@ -111,9 +111,13 @@ def main() -> int:
                 )
                 (retried_ok if rp.returncode == 0 else real_fail).append(name)
                 if rp.returncode != 0:
-                    results.setdefault("fail_tails", {})[name] = (
-                        rp.stdout + rp.stderr
-                    )[-3000:]
+                    # stdout carries the pytest traceback; stderr is mostly
+                    # Spark progress bars — tail them SEPARATELY or the
+                    # bars swallow the actual assertion message
+                    results.setdefault("fail_tails", {})[name] = {
+                        "stdout": rp.stdout[-2500:],
+                        "stderr": rp.stderr[-500:],
+                    }
             except subprocess.TimeoutExpired:
                 real_fail.append(name)
                 results.setdefault("fail_tails", {})[name] = "<solo timeout>"
