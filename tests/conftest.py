@@ -33,5 +33,15 @@ def duck():
     # /tmp/blockmgr-* dirs from dead JVMs are the thing that actually
     # filled the disk in r6 — clean those first when space runs low)
     con.execute("SET max_temp_directory_size='60GiB'")
+    # r8 sf3 finding (rehearsal_sf3_heavy_r8 + tools/diag_cc_sf3.py): at the
+    # default thread count (= all 32 cores) the CC-chain oracle's posting-
+    # join prefix blows the spill cap — every thread holds its own operator
+    # partitions, so spill volume SCALES WITH THREADS under memory pressure
+    # from the co-resident Spark JVM. 16 threads builds the identical
+    # 2,405,400-edge relation in <50GiB; the light oracles are sub-second
+    # either way. Insertion order is not observable (the harness sorts rows
+    # before comparing), so let DuckDB drop its order-preservation buffers.
+    con.execute("SET threads=16")
+    con.execute("SET preserve_insertion_order=false")
     yield con
     con.close()
