@@ -70,25 +70,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative green driver row across rounds. Rotation policy (r3 verdict
 # item 2): front-load (a) entries fixed or changed this round, (b) entries
 # that have NEVER had a driver row, (c) rows-only entries (they get the
-# weaker count check either way), then (d) round-1-green entries stalest
-# first for periodic re-verification. The tail is entries green in the most
-# recent window (r3) — they yield the window to first-checks.
+# weaker count check either way), then (d) green entries stalest first for
+# periodic re-verification. The tail is entries green in the most recent
+# window — they yield the window to staler cohorts.
 _PRIORITY = [
-    # ---- r8 rotation (r7 verdict item 2): the window is the r3-stale
-    #      cohort — 42 entries whose latest external driver row is round 3
-    #      (4 rounds old) plus the four mta_fact_* models. Step (a) still
-    #      leads: the four CC-chain entries' ORACLE changed this round
-    #      (r7 ADVICE — sm{t} MATERIALIZED + an in-SQL fixpoint assertion
-    #      so an under-provisioned round count errors as an oracle problem
-    #      instead of a hash mismatch), and a stale green is worthless the
-    #      moment the oracle moves. Engine side untouched. ----
+    # ---- r9 rotation (r8 verdict item 3): the window is the r4-stale
+    #      cohort — the 34 entries whose latest external driver row is
+    #      round 4 (5 rounds old) — topped up to 50 with the r5 cohort
+    #      heads: the 12 mta_m* metrics, the portable sketch triad, and
+    #      rag_chunk_retrieval. Nothing's oracle or engine plan changed
+    #      this round (the CC-chain oracle gained a HARNESS-side shared
+    #      prefix only; its SQL strings are unchanged), so step (a) is
+    #      empty and step (d) staleness ordering owns the window. All
+    #      pass the in-repo sf0.01 parity replica continuously. ----
+    "a678_counts_rates",
+    "m9_analog_completeness",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "scd2_history_events",
+    "incremental_agg_merge",
+    "j_asof_latest_order",
+    "a_heavy_hitters",
+    "udtf_sentence_segments",
+    "w6_value_functions",
+    "text_line_dedup",
+    "corpus_shard_plan",
+    "shard_write_roundtrip",
+    "j_salted_skew_join",
+    "w_hopping_windows",
+    "source_orc_roundtrip",
+    "dedup_edit_distance",
+    "m1_gapfill_spine",
+    "stream_hopping_windows",
+    "a_mode_top_actor",
+    "o_limit_offset_page",
+    "text_fingerprint_rolling",
+    "multimodal_audio_energy",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "corpus_curation_pipeline",
+    "q1_pricing_summary",
+    "p1_project_rename_filter",
+    "p456_predicates_case",
+    "j1_inner_join_agg",
+    "j2_left_broadcast_dims",
+    "j3_join_preagg_child",
+    "mta_m1",
+    "mta_m2",
+    "mta_m3",
+    "mta_m4",
+    "mta_m5_headways",
+    "mta_m6_dwell",
+    "mta_m7",
+    "mta_m8",
+    "mta_m9",
+    "mta_m10",
+    "mta_m11",
+    "mta_m12",
+    "a_hll_portable",
+    "a_cms_portable",
+    "a_kmv_portable",
+    "rag_chunk_retrieval",
+    # ---- position 50: the driver's check window ends here. bpe_* are the
+    #      remaining r5 heads named in the r8 verdict — first overflow if
+    #      the driver checks past 50. ----
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    # -- rows-only entries (weaker count-check either way) --
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- remaining cohorts stalest-first: the r5 remainder, then the r6,
+    #    r7 and (deepest — just verified) r8 windows, relative order
+    #    preserved from the r8 rotation --
     "dedup_connected_components",
     "dedup_keep_list",
     "dedup_keep_best",
     "dedup_cluster_stats",
-    # -- step (d): the r3-green cohort, stalest external signal in the
-    #    registry (m3_analog was cut from the r7 window at position 51).
-    #    All pass the in-repo sf0.01 parity replica continuously. --
     "m3_analog_service_delivered",
     "m11_analog_latency",
     "corpus_ngram_counts",
@@ -131,55 +191,10 @@ _PRIORITY = [
     "source_csv_json_roundtrip",
     "dq_report_testdata",
     "s6_merge_upsert",
-    # -- the four MTA fact models (named in the r7 verdict's stale list) —
-    #    round out the 50-entry window exactly --
     "mta_fact_trips_stops",
     "mta_fact_trips",
     "mta_fact_delays",
     "mta_fact_alerts",
-    # ---- position 50: the driver's check window ends here. Below:
-    #      rows-only entries (weaker count-check either way, re-rowed r7),
-    #      then remaining cohorts stalest-first (r4, r5, r6; the r7-green
-    #      cohort — externally verified last round — deepest). ----
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- green in the r4 window --
-    "a678_counts_rates",
-    "m9_analog_completeness",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "scd2_history_events",
-    "incremental_agg_merge",
-    "j_asof_latest_order",
-    "a_heavy_hitters",
-    "udtf_sentence_segments",
-    "w6_value_functions",
-    "text_line_dedup",
-    "corpus_shard_plan",
-    "shard_write_roundtrip",
-    "j_salted_skew_join",
-    "w_hopping_windows",
-    "source_orc_roundtrip",
-    "dedup_edit_distance",
-    "m1_gapfill_spine",
-    "stream_hopping_windows",
-    "a_mode_top_actor",
-    "o_limit_offset_page",
-    "text_fingerprint_rolling",
-    "multimodal_audio_energy",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "corpus_curation_pipeline",
-    "q1_pricing_summary",
-    "p1_project_rename_filter",
-    "p456_predicates_case",
-    "j1_inner_join_agg",
-    "j2_left_broadcast_dims",
-    "j3_join_preagg_child",
-    # -- green in the r5 window --
     "a_array_agg_sorted",
     "a_salted_skew_agg",
     "a_histogram_values",
@@ -190,16 +205,6 @@ _PRIORITY = [
     "incremental_agg_retract",
     "mta_fts_insert_overwrite",
     "stream_stream_left_join",
-    "mta_m1",
-    "mta_m2",
-    "mta_m3",
-    "mta_m4",
-    "mta_m7",
-    "mta_m8",
-    "mta_m9",
-    "mta_m10",
-    "mta_m11",
-    "mta_m12",
     "mta_fts_incremental",
     "mta_stream_fts",
     "q9_product_profit",
@@ -209,30 +214,19 @@ _PRIORITY = [
     "q12_priority_split",
     "q16_supplier_diversity",
     "q20_concentrated_supply",
-    "mta_m5_headways",
-    "mta_m6_dwell",
-    "a_hll_portable",
     "s_tablesample_hash",
     "ann_lsh_filtered",
-    "a_cms_portable",
     "text_bloom_decontaminate",
     "stream_heavy_hitters",
-    "rag_chunk_retrieval",
-    "a_kmv_portable",
     "a_kmv_setops",
     "a_hdr_quantiles",
     "a_event_funnel",
     "a_cohort_retention",
     "j_temporal_scd2_lookup",
-    "bpe_train_merges",
-    "bpe_encode_stats",
     "graph_pagerank",
     "a_skew_report",
     "mta_dq_checks",
     "j_full_outer_reconcile",
-    # -- green in the r6 window (CORRECTNESS_r06: 47/50 hash-green + 3
-    #    rows-only — the most recently externally verified cohort; the
-    #    three behavior-changed members lead the r7 window above) --
     "mix_temperature_sample",
     "a_mad_outliers",
     "stream_agg_maintenance",
@@ -276,10 +270,6 @@ _PRIORITY = [
     "a_conversion_wilson",
     "a_benford_digits",
     "m_feed_gap_detection",
-    # -- green in the r7 window (CORRECTNESS_r07: 47/50 hash-green; the
-    #    most recently externally verified cohort sits deepest — except
-    #    the four CC-chain entries leading the r8 window above, whose
-    #    oracle moved again) --
     "graph_triangles",
     "graph_clustering_coeff",
     "q17_small_quantity_revenue",

@@ -353,22 +353,11 @@ def main() -> None:
         separators=(",", ":"),
     )
     if len(line) > 1950:  # stay under the driver's 2000-char tail capture
-        line = json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "unit": "sec",
-                "sf": sf_val,
-                "load1": load_line,
-                "detail": "bench_detail.json",
-                "queries": timings,
-                "value": total,
-            },
-            separators=(",", ":"),
-        )
-    if len(line) > 1950:
-        # last-resort fallback (r7 ADVICE): a queries map grown past the cap
-        # would be clipped mid-JSON by the driver's 2000-char tail capture,
-        # making the whole line unparseable — drop it (medians still live in
+        # single fallback tier (r8 ADVICE collapsed the old intermediate
+        # drop-timing_policy step — it saved ~40 chars and near-never
+        # changed the outcome): a queries map grown past the cap would be
+        # clipped mid-JSON by the driver's tail capture, making the whole
+        # line unparseable — drop it (medians still live in
         # bench_detail.json) and keep the headline keys intact
         line = json.dumps(
             {

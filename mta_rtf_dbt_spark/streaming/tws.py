@@ -170,6 +170,12 @@ def _ensure_protobuf() -> bool:
     global _PROTOBUF_VENDOR_USED
     if _probe_protobuf():
         return True
+    # remember whether WE set the hatch — computed ONCE, before the vendor
+    # loop (r8 ADVICE): per-iteration recomputation made a later iteration
+    # see the var vendor #1 set, classify it as user-exported, skip the pop,
+    # and leave the hatch disabled process-wide despite falling back. A
+    # user-exported value must still survive every rejection path.
+    _hatch_was_ours = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
     for vendor in _PROTOBUF_VENDOR_PATHS:
         if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
             continue
@@ -178,9 +184,6 @@ def _ensure_protobuf() -> bool:
         # cross-version guarantee; the real TWS path is oracle-verified
         # end-to-end under this setting (tests/test_streaming.py).
         # _version_skew_ok below bounds how far the hatch may stretch.
-        # remember whether WE set the hatch: a user-exported value must
-        # survive the rejection path below (pop would silently delete it)
-        _hatch_was_ours = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         if vendor not in sys.path:
             sys.path.append(vendor)
@@ -207,15 +210,29 @@ def _ensure_protobuf() -> bool:
                     # the vendored tree's modules are already cached; leave
                     # them importable for OTHER importers and sys.modules
                     # would hand out the rejected runtime — purge them so
-                    # the next import re-resolves against the cleaned path
-                    for mod in [
+                    # the next import re-resolves against the cleaned path.
+                    # Purge ONLY modules that resolve under the vendored
+                    # tree plus the gencode leaf (r8 ADVICE): a blanket
+                    # google.* sweep would also evict unrelated namespace
+                    # packages (google.auth, google.cloud, ...) whose
+                    # holders would then diverge from fresh re-imports.
+                    vroot = os.path.abspath(vendor) + os.sep
+                    for name in [
                         m
-                        for m in sys.modules
+                        for m in list(sys.modules)
                         if m == "google"
                         or m.startswith("google.")
                         or m.endswith("StateMessage_pb2")
                     ]:
-                        del sys.modules[mod]
+                        mod = sys.modules.get(name)
+                        locs = [getattr(mod, "__file__", None) or ""] + list(
+                            getattr(mod, "__path__", None) or []
+                        )
+                        if name.endswith("StateMessage_pb2") or any(
+                            loc and os.path.abspath(loc).startswith(vroot)
+                            for loc in locs
+                        ):
+                            del sys.modules[name]
                     warnings.warn(
                         "vendored protobuf runtime is more than one minor "
                         "version from Spark's gencode — the version-check "

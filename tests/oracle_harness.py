@@ -12,13 +12,52 @@ import os
 from decimal import Decimal
 
 
+# per-connection shared-prefix state: id(con) -> {"sf_dir": str, "made": set}
+# (see ORACLE_SHARED_PREFIXES in operators/graph.py — the CC-chain entries'
+# oracles share an expensive identical CTE prefix; materialize it once per
+# (connection, sf_dir) instead of re-deriving it per entry)
+_SHARED: dict[int, dict] = {}
+
+
 def register_views(con, sf_dir: str) -> None:
     from mta_rtf_dbt_spark.sources.registry import TESTDATA_TABLES
 
+    st = _SHARED.setdefault(id(con), {"sf_dir": None, "made": set()})
+    if st["sf_dir"] != sf_dir:
+        # sf_dir switch invalidates any prefix tables built over old views
+        for tbl in st["made"]:
+            con.execute(f"DROP TABLE IF EXISTS {tbl}")
+        st["made"].clear()
+        st["sf_dir"] = sf_dir
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+
+def _shared_prefixes():
+    from mta_rtf_dbt_spark.operators.graph import ORACLE_SHARED_PREFIXES
+
+    return ORACLE_SHARED_PREFIXES
+
+
+def _apply_shared_prefix(con, sql: str) -> str:
+    """If ``sql`` starts with a declared shared oracle prefix, materialize
+    that prefix's final CTE once per (connection, sf_dir) as a temp table
+    and rewrite the query to read it — same rows, same hashes, the heavy
+    chain runs once per session instead of once per entry."""
+    for i, (prefix, cte, cols) in enumerate(_shared_prefixes()):
+        if not sql.startswith(prefix):
+            continue
+        tbl = f"__oracle_shared_{i}"
+        st = _SHARED.setdefault(id(con), {"sf_dir": None, "made": set()})
+        if tbl not in st["made"]:
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE {tbl} AS {prefix}\nSELECT {cols} FROM {cte}"
+            )
+            st["made"].add(tbl)
+        return f"WITH {cte} AS (SELECT {cols} FROM {tbl})" + sql[len(prefix):]
+    return sql
 
 
 def _norm(v):
@@ -50,7 +89,7 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
     errs: list[str] = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
+    res = con.execute(_apply_shared_prefix(con, sql))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
 

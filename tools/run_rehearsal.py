@@ -93,7 +93,14 @@ def main() -> int:
             p = _run(ids, env)
             rc, out = p.returncode, p.stdout + p.stderr
         except subprocess.TimeoutExpired as ex:
-            rc, out = -9, ((ex.stdout or "") if isinstance(ex.stdout, str) else "") + "\n<batch timeout>"
+            # TimeoutExpired.stdout is BYTES on POSIX even with text=True
+            # (r8 ADVICE) — decode rather than drop, so entries that already
+            # printed PASSED before the timeout are credited in-batch and
+            # only the unaccounted tail is replayed solo
+            partial = ex.stdout or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode(errors="replace")
+            rc, out = -9, partial + "\n<batch timeout>"
         dt = round(time.monotonic() - t0, 1)
         # positive accounting: only an explicit PASSED line is green in-batch;
         # FAILED/ERROR ids and anything unaccounted (timeout mid-batch,
@@ -120,7 +127,12 @@ def main() -> int:
                     }
             except subprocess.TimeoutExpired:
                 real_fail.append(name)
-                results.setdefault("fail_tails", {})[name] = "<solo timeout>"
+                # same dict shape as solo failures (r8 ADVICE): consumers of
+                # the rehearsal JSON should never have to type-branch
+                results.setdefault("fail_tails", {})[name] = {
+                    "stdout": "<solo timeout>",
+                    "stderr": "",
+                }
         n_ok = len(batch) - len(real_fail)
         results["passed"] += n_ok
         results["failed"].extend(real_fail)
