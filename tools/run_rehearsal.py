@@ -34,7 +34,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BATCH_TIMEOUT = 5400  # seconds; generous — a wedged JVM should not stall the sweep forever
+# seconds; generous — a wedged JVM should not stall the sweep forever.
+# Env-overridable because at sf10 a single entry that pays the shared
+# oracle-prefix materialization can legitimately need more than 90 min.
+BATCH_TIMEOUT = int(os.environ.get("REHEARSAL_BATCH_TIMEOUT", "5400"))
 
 
 def _run(ids: list[str], env: dict) -> subprocess.CompletedProcess:
