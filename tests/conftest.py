@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -10,7 +12,12 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from mta_rtf_dbt_spark.session import get_spark
 
-    s = get_spark(app_name="mta-rtf-dbt-spark-tests", shuffle_partitions=8)
+    # 8 shuffle partitions is right-sized for the sf0.001/sf0.01 suites this
+    # fixture usually serves; scale rehearsals (ORACLE_PARITY_SF=/tmp/sf10)
+    # need real width or every shuffle stage runs 8 oversized partitions —
+    # override without touching the default the 600-test suite is tuned for.
+    width = int(os.environ.get("ORACLE_PARITY_SHUFFLE", "8"))
+    s = get_spark(app_name="mta-rtf-dbt-spark-tests", shuffle_partitions=width)
     yield s
 
 
@@ -43,5 +50,10 @@ def duck():
     # before comparing), so let DuckDB drop its order-preservation buffers.
     con.execute("SET threads=16")
     con.execute("SET preserve_insertion_order=false")
+    # Scale rehearsals sometimes run next to another DuckDB (the shared-
+    # prefix prewarm, a parallel half-registry runner): two processes each
+    # assuming 80% of RAM overcommit the host. Cap this one explicitly then.
+    if os.environ.get("ORACLE_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['ORACLE_DUCK_MEM']}'")
     yield con
     con.close()

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Pre-warm the shared CC-chain oracle prefix cache for a scale dir.
+
+The four CC-chain entries' DuckDB oracles share one expensive CTE prefix
+(shingles -> capped posting join -> jaccard edges -> star rounds -> comp),
+cached as a fingerprint-keyed parquet file by tests/oracle_harness.py so it
+is derived once per (sf_dir, inputs). Inside a rehearsal, that derivation
+runs while a Spark JVM co-occupies the host — at sf10 that contention is the
+difference between an hour and several. This tool materializes the cache in
+a STANDALONE DuckDB process (no Spark), with tunable threads/memory, so the
+rehearsal's CC entries start from a warm file.
+
+Usage: python tools/prewarm_oracle_prefix.py [sf_dir] [threads] [mem]
+Defaults: /tmp/sf10, 20, 60GiB.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    threads = sys.argv[2] if len(sys.argv) > 2 else "20"
+    mem = sys.argv[3] if len(sys.argv) > 3 else "60GiB"
+
+    import duckdb
+
+    from tests.oracle_harness import _apply_shared_prefix, register_views
+
+    con = duckdb.connect()
+    # Same spill discipline as the test fixture (tests/conftest.py), scaled
+    # for a standalone run: no co-resident JVM, so more threads/memory are
+    # safe; the temp cap still keeps a runaway from eating the host disk.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='70GiB'")
+    con.execute(f"SET threads={int(threads)}")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET preserve_insertion_order=false")
+    register_views(con, sf_dir)
+
+    from mta_rtf_dbt_spark.operators.graph import ORACLE_SHARED_PREFIXES
+
+    t0 = time.monotonic()
+    for prefix, cte, cols in ORACLE_SHARED_PREFIXES:
+        # feeding the bare prefix + final-CTE select through the same code
+        # path the tests use guarantees an identical cache key and contents
+        rewritten = _apply_shared_prefix(con, f"{prefix}\nSELECT {cols} FROM {cte}")
+        path = rewritten.split("read_parquet('")[1].split("'")[0]
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        sz = os.path.getsize(path)
+        print(
+            f"prefix[{cte}] -> {path}: {n} rows, {sz / 1e6:.1f} MB,"
+            f" {time.monotonic() - t0:.1f}s",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
