@@ -33,7 +33,14 @@ def duck():
     # host's free space with it. Memory stays at DuckDB's default (80% of
     # RAM): the oracle is correctness scaffolding, and its ceiling must
     # not become the rehearsal's binding constraint.
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # Env-overridable (ORACLE_DUCK_TMP) because max_temp_directory_size
+    # accounting is DIRECTORY-wide, not per-process: a parallel runner or
+    # prewarm sharing this dir gets charged for our blocks (and vice versa)
+    # and dies on a phantom cap breach (r9 finding).
+    con.execute(
+        "SET temp_directory="
+        f"'{os.environ.get('ORACLE_DUCK_TMP', '/tmp/duckdb_oracle_spill')}'"
+    )
     # 60GiB (was 40): the r7 sf3 sweep showed the text-dedup posting-join
     # prefix legitimately peaks >40GiB of spill under memory pressure from
     # a concurrent Spark JVM; the cap still protects the host (stale

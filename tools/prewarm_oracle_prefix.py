@@ -10,8 +10,13 @@ difference between an hour and several. This tool materializes the cache in
 a STANDALONE DuckDB process (no Spark), with tunable threads/memory, so the
 rehearsal's CC entries start from a warm file.
 
-Usage: python tools/prewarm_oracle_prefix.py [sf_dir] [threads] [mem]
-Defaults: /tmp/sf10, 20, 60GiB.
+Usage: python tools/prewarm_oracle_prefix.py [sf_dir] [threads] [mem] [tmpdir]
+Defaults: /tmp/sf10, 16 (the proven sf3 spill-bounded width), DuckDB's
+default memory (80% of RAM — lowering it INCREASES spill; only cap it when
+something else co-occupies the host), /tmp/duckdb_prewarm_spill (own dir:
+max_temp_directory_size accounting is directory-wide, so sharing a spill
+dir with a concurrently-running oracle suite charges its blocks against
+this process's cap — found the hard way in r9).
 """
 
 from __future__ import annotations
@@ -26,8 +31,9 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-    threads = sys.argv[2] if len(sys.argv) > 2 else "20"
-    mem = sys.argv[3] if len(sys.argv) > 3 else "60GiB"
+    threads = sys.argv[2] if len(sys.argv) > 2 else "16"
+    mem = sys.argv[3] if len(sys.argv) > 3 else ""
+    tmpdir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/duckdb_prewarm_spill"
 
     import duckdb
 
@@ -35,12 +41,14 @@ def main() -> int:
 
     con = duckdb.connect()
     # Same spill discipline as the test fixture (tests/conftest.py), scaled
-    # for a standalone run: no co-resident JVM, so more threads/memory are
-    # safe; the temp cap still keeps a runaway from eating the host disk.
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # for a standalone run: no co-resident JVM, so full memory is safe (and
+    # full memory MINIMIZES spill); the temp cap still keeps a runaway from
+    # eating the host disk.
+    con.execute(f"SET temp_directory='{tmpdir}'")
     con.execute("SET max_temp_directory_size='70GiB'")
     con.execute(f"SET threads={int(threads)}")
-    con.execute(f"SET memory_limit='{mem}'")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET preserve_insertion_order=false")
     register_views(con, sf_dir)
 
