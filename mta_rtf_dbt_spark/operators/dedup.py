@@ -151,21 +151,48 @@ def jaccard_pairs(
     """
     WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
                   FROM documents),
-    sh0 AS (SELECT DISTINCT doc_id,
+    sh0 AS MATERIALIZED (SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
            FROM toks WHERE len(arr) >= 3),
-    sh AS (SELECT doc_id, shingle FROM (
-             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-             FROM sh0) WHERE df < 1000),
-    cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-    pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(common * 1000000 // (ca.n + cb.n - common) AS BIGINT) AS jaccard_ppm
-    FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE common * 1000000 // (ca.n + cb.n - common) >= 200000
+    -- df cap as a grouped semi-join, NOT count(*) OVER (PARTITION BY
+    -- shingle): the window form sorts the full shingle stream (26M rows at
+    -- the sf10 rehearsal) in one operator and was the oracle's dominant
+    -- spill source; group-then-join keeps the identical df<1000 semantics
+    -- at a fraction of the working set (same rewrite the CC-chain prefix
+    -- got in r7, operators/graph.py:_CC_EDGE_CTES).
+    df AS MATERIALIZED (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) < 1000),
+    sh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh0 s JOIN df USING (shingle)),
+    -- Set-group collapse: the doc-level posting self-join is Sum C(df,2)
+    -- intermediate rows — 3.6 BILLION at the sf10 rehearsal's 100-clone
+    -- density (>1h of oracle wall). Jaccard only depends on the two
+    -- shingle SETS, so group docs by identical capped shingle set, run the
+    -- posting join + exact Jaccard at set level (clone corpora collapse
+    -- ~100x), and expand qualifying set pairs back to doc pairs. Same-set
+    -- pairs have common = na = nb = n, so ppm = n*1e6 // n = 1000000
+    -- exactly. Every emitted (doc_a, doc_b, jaccard_ppm) row is identical
+    -- to the direct form's.
+    dl AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS sl
+                        FROM sh GROUP BY doc_id),
+    g AS MATERIALIZED (SELECT min(doc_id) AS gid, sl,
+                              list(doc_id ORDER BY doc_id) AS docs
+                       FROM dl GROUP BY sl),
+    gsh AS MATERIALIZED (SELECT gid, unnest(sl) AS shingle, len(sl) AS n FROM g),
+    gpairs AS (SELECT a.gid ga, b.gid gb, a.n na, b.n nb, count(*) AS common
+               FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.gid < b.gid
+               GROUP BY 1, 2, 3, 4),
+    gq AS (SELECT ga, gb,
+                  CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jaccard_ppm
+           FROM gpairs
+           WHERE common * 1000000 // (na + nb - common) >= 200000)
+    SELECT least(ua.da, ub.db) AS doc_a, greatest(ua.da, ub.db) AS doc_b,
+           q.jaccard_ppm
+    FROM gq q JOIN g a ON a.gid = q.ga JOIN g b ON b.gid = q.gb,
+         UNNEST(a.docs) AS ua(da), UNNEST(b.docs) AS ub(db)
+    UNION ALL
+    SELECT ua.da AS doc_a, ub.db AS doc_b, CAST(1000000 AS BIGINT) AS jaccard_ppm
+    FROM g, UNNEST(docs) AS ua(da), UNNEST(docs) AS ub(db)
+    WHERE ua.da < ub.db AND 1000000 >= 200000
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -417,16 +444,34 @@ def _minhash_lsh_sql(
     approximate path is oracle-checked end to end (not rows-only)."""
     P, CB, BB = MINHASH_P, MINHASH_CHAR_BASE, MINHASH_BAND_BASE
     rows = num_hashes // bands
-    seed_rows = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_seeds(num_hashes))
+    seeds = _minhash_seeds(num_hashes)
+    # per-shingle wide hash family: h{i} = (A_i*hb + B_i) mod P as 64 COLUMNS
+    # over the ~tens-of-thousands distinct shingles — NOT a CROSS JOIN seeds
+    # row expansion. The old sig CTE expanded |sh| x num_hashes rows through
+    # one aggregate (1.7B rows at the sf10 rehearsal, the oracle's dominant
+    # cost); the wide form is the same one-pass 64-min-column hash aggregate
+    # the Spark side runs (minhash_signatures), value-identical per column.
+    hs_cols = ",\n               ".join(
+        f"(hb * {a} + {b}) % {P} AS h{i}" for i, (a, b) in enumerate(seeds)
     )
-    bh = "hs[1]"
-    for j in range(2, rows + 1):
-        bh = f"(({bh}) * {BB} + hs[{j}]) % {P}"
+    min_cols = ", ".join(f"MIN(w.h{i}) AS h{i}" for i in range(num_hashes))
+
+    def band_hash(b: int) -> str:
+        acc = f"h{b * rows}"
+        for j in range(1, rows):
+            acc = f"(({acc}) * {BB} + h{b * rows + j}) % {P}"
+        return acc
+
+    band_branches = "\n               UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_hash(b)} AS band_hash FROM sigw"
+        for b in range(bands)
+    )
     return f"""
     WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
                   FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
+    -- sh is referenced four times (sigw, cnt, common x2); MATERIALIZED or
+    -- DuckDB re-derives the full shingle expansion per reference
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
            FROM toks WHERE len(arr) >= 3),
@@ -438,26 +483,35 @@ def _minhash_lsh_sql(
                                   i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
                  (acc, c) -> (acc * {CB} + c) % {P}) AS hb
              FROM uniq),
-    seeds(i, a, b) AS (VALUES {seed_rows}),
-    sig AS (SELECT s.doc_id, seeds.i, MIN((bs.hb * seeds.a + seeds.b) % {P}) AS h
-            FROM sh s JOIN base bs USING (shingle) CROSS JOIN seeds
-            GROUP BY s.doc_id, seeds.i),
-    band_vals AS (SELECT doc_id, i // {rows} AS band, list(h ORDER BY i) AS hs
-                  FROM sig GROUP BY doc_id, i // {rows}),
-    banded AS (SELECT doc_id, band, {bh} AS band_hash FROM band_vals),
+    hsw AS (SELECT shingle,
+               {hs_cols}
+             FROM base),
+    sigw AS MATERIALIZED (SELECT s.doc_id, {min_cols}
+            FROM sh s JOIN hsw w USING (shingle)
+            GROUP BY s.doc_id),
+    banded AS MATERIALIZED ({band_branches}),
     cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
              FROM banded a JOIN banded b
                ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-    cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-    common AS (SELECT doc_a, doc_b, count(*) common
-               FROM cand
-               JOIN sh sa ON sa.doc_id = doc_a
-               JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
-               GROUP BY 1, 2)
+    -- exact-Jaccard verify via per-doc sorted shingle lists, NOT a
+    -- cand x postings x postings re-join: minhash postings are UNCAPPED
+    -- (no df<1000 screen here), so the join form invites the optimizer to
+    -- start from the shingle-shingle equi-pair — Sum(df^2) ~ 25B rows at
+    -- the sf10 rehearsal's clone density. |A n B| over two distinct-element
+    -- lists is the same integer, computed in one streaming pass over the
+    -- candidate pairs.
+    dl AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS sl,
+                               count(*) AS n
+                        FROM sh GROUP BY doc_id),
+    common AS (SELECT doc_a, doc_b,
+                      len(list_intersect(da.sl, db.sl)) AS common,
+                      da.n AS na, db.n AS nb
+               FROM cand JOIN dl da ON da.doc_id = doc_a
+                         JOIN dl db ON db.doc_id = doc_b)
     SELECT doc_a, doc_b,
-           CAST(common * 1000000 // (ca.n + cb.n - common) AS BIGINT) AS jaccard_ppm
-    FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE common * 1000000 // (ca.n + cb.n - common) >= {int(round(threshold * 1_000_000))}
+           CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jaccard_ppm
+    FROM common
+    WHERE common * 1000000 // (na + nb - common) >= {int(round(threshold * 1_000_000))}
     """
 
 

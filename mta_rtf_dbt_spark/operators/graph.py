@@ -221,19 +221,32 @@ sh0 AS MATERIALIZED (SELECT DISTINCT doc_id,
 -- working set (the r7 sf3 sweep hit the 40GiB oracle spill cap here)
 df AS MATERIALIZED (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) < 1000),
 sh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh0 s JOIN df USING (shingle)),
-cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
--- pairs is single-reference and must stay INLINED: materialized, DuckDB
--- buffers the full candidate-pair aggregate (the df<1000 cap admits
--- ~990-doc shingles at sf3's 30x duplication -> ~C(990,2) pairs each,
--- billions of rows) instead of streaming it into the jaccard filter
--- below, which discards all but the >=0.2 edges — r7 sf3 OOM
-pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+-- Set-group collapse (r9, shared with the dedup_ngram_jaccard oracle): the
+-- doc-level posting self-join is Sum C(df,2) intermediate rows — 3.6B at
+-- the sf10 rehearsal's 100-clone density. Jaccard depends only on the two
+-- shingle SETS, so group docs by identical capped shingle set, join +
+-- threshold at set level (clone corpora collapse ~100x), then expand
+-- qualifying set pairs back to doc pairs. Same-set docs have Jaccard
+-- exactly 1.0 >= 0.2, so every within-group pair is an edge; the expanded
+-- edge set is row-identical to the direct form's.
+dl AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS sl
+                    FROM sh GROUP BY doc_id),
+g AS MATERIALIZED (SELECT min(doc_id) AS gid, sl,
+                          list(doc_id ORDER BY doc_id) AS docs
+                   FROM dl GROUP BY sl),
+gsh AS MATERIALIZED (SELECT gid, unnest(sl) AS shingle, len(sl) AS n FROM g),
+gpairs AS (SELECT a.gid ga, b.gid gb, a.n na, b.n nb, count(*) AS common
+           FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.gid < b.gid
+           GROUP BY 1, 2, 3, 4),
+gq AS MATERIALIZED (SELECT ga, gb FROM gpairs
+                    WHERE common * 1.0 / (na + nb - common) >= 0.2),
 edges AS MATERIALIZED (
-  SELECT doc_a, doc_b FROM pairs
-  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.2
+  SELECT least(ua.da, ub.db) AS doc_a, greatest(ua.da, ub.db) AS doc_b
+  FROM gq q JOIN g a ON a.gid = q.ga JOIN g b ON b.gid = q.gb,
+       UNNEST(a.docs) AS ua(da), UNNEST(b.docs) AS ub(db)
+  UNION ALL
+  SELECT ua.da, ub.db FROM g, UNNEST(docs) AS ua(da), UNNEST(docs) AS ub(db)
+  WHERE ua.da < ub.db
 ),
 und0 AS MATERIALIZED (SELECT doc_a a, doc_b b FROM edges UNION SELECT doc_b, doc_a FROM edges)
 """
