@@ -463,18 +463,31 @@ def _minhash_lsh_sql(
         return acc
 
     band_branches = "\n               UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {band_hash(b)} AS band_hash FROM sigw"
+        f"SELECT gid, {b} AS band, {band_hash(b)} AS band_hash FROM sigw"
         for b in range(bands)
     )
+    thr = int(round(threshold * 1_000_000))
     return f"""
     WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
                   FROM documents),
-    -- sh is referenced four times (sigw, cnt, common x2); MATERIALIZED or
-    -- DuckDB re-derives the full shingle expansion per reference
     sh AS MATERIALIZED (SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(arr)-2,1)),
                                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
            FROM toks WHERE len(arr) >= 3),
+    -- Set-group collapse (r9, same trick as the ngram-Jaccard oracle):
+    -- signatures, band hashes, candidacy, and exact Jaccard all depend
+    -- ONLY on a doc's shingle SET, so the whole pipeline runs per distinct
+    -- set (clone corpora collapse ~100x) and qualifying set pairs expand
+    -- back to doc pairs at the end. Same-set pairs always collide in every
+    -- band (identical signatures) and verify at ppm = n*1e6 // n = 1e6
+    -- exactly; cross-set pairs verify via |A n B| over the two
+    -- distinct-element lists — never a cand x postings x postings re-join
+    -- (Sum(df^2) ~ 25B rows at the sf10 rehearsal's clone density).
+    dl AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS sl
+                        FROM sh GROUP BY doc_id),
+    g AS MATERIALIZED (SELECT min(doc_id) AS gid, sl,
+                              list(doc_id ORDER BY doc_id) AS docs
+                       FROM dl GROUP BY sl),
     uniq AS (SELECT DISTINCT shingle FROM sh),
     base AS (SELECT shingle,
                list_reduce(
@@ -486,32 +499,28 @@ def _minhash_lsh_sql(
     hsw AS (SELECT shingle,
                {hs_cols}
              FROM base),
-    sigw AS MATERIALIZED (SELECT s.doc_id, {min_cols}
-            FROM sh s JOIN hsw w USING (shingle)
-            GROUP BY s.doc_id),
+    gsh AS (SELECT gid, unnest(sl) AS shingle FROM g),
+    sigw AS MATERIALIZED (SELECT gs.gid, {min_cols}
+            FROM gsh gs JOIN hsw w USING (shingle)
+            GROUP BY gs.gid),
     banded AS MATERIALIZED ({band_branches}),
-    cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-             FROM banded a JOIN banded b
-               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-    -- exact-Jaccard verify via per-doc sorted shingle lists, NOT a
-    -- cand x postings x postings re-join: minhash postings are UNCAPPED
-    -- (no df<1000 screen here), so the join form invites the optimizer to
-    -- start from the shingle-shingle equi-pair — Sum(df^2) ~ 25B rows at
-    -- the sf10 rehearsal's clone density. |A n B| over two distinct-element
-    -- lists is the same integer, computed in one streaming pass over the
-    -- candidate pairs.
-    dl AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS sl,
-                               count(*) AS n
-                        FROM sh GROUP BY doc_id),
-    common AS (SELECT doc_a, doc_b,
-                      len(list_intersect(da.sl, db.sl)) AS common,
-                      da.n AS na, db.n AS nb
-               FROM cand JOIN dl da ON da.doc_id = doc_a
-                         JOIN dl db ON db.doc_id = doc_b)
-    SELECT doc_a, doc_b,
-           CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jaccard_ppm
-    FROM common
-    WHERE common * 1000000 // (na + nb - common) >= {int(round(threshold * 1_000_000))}
+    gcand AS (SELECT DISTINCT a.gid ga, b.gid gb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.gid < b.gid),
+    gver AS (SELECT ga, gb,
+                    CAST(common * 1000000 // (na + nb - common) AS BIGINT) AS jaccard_ppm
+             FROM (SELECT ga, gb, len(list_intersect(a.sl, b.sl)) AS common,
+                          len(a.sl) AS na, len(b.sl) AS nb
+                   FROM gcand JOIN g a ON a.gid = ga JOIN g b ON b.gid = gb)
+             WHERE common * 1000000 // (na + nb - common) >= {thr})
+    SELECT least(ua.da, ub.db) AS doc_a, greatest(ua.da, ub.db) AS doc_b,
+           v.jaccard_ppm
+    FROM gver v JOIN g a ON a.gid = v.ga JOIN g b ON b.gid = v.gb,
+         UNNEST(a.docs) AS ua(da), UNNEST(b.docs) AS ub(db)
+    UNION ALL
+    SELECT ua.da AS doc_a, ub.db AS doc_b, CAST(1000000 AS BIGINT) AS jaccard_ppm
+    FROM g, UNNEST(docs) AS ua(da), UNNEST(docs) AS ub(db)
+    WHERE ua.da < ub.db AND 1000000 >= {thr}
     """
 
 
