@@ -92,27 +92,32 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     )
 
 
-def jaccard_pairs(
+def jaccard_group_graph(
     sh: DataFrame, threshold: float, max_posting: int | None = 1000
-) -> DataFrame:
-    """Exact Jaccard over an inverted-index self-join.
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate-contracted Jaccard graph over an inverted index.
 
-    Scale: shuffles on the shingle key only — but a corpus-frequent ("hot")
-    shingle makes the posting self-join quadratic in its posting length, so
-    postings with document frequency >= ``max_posting`` are dropped from the
-    index first (stop-shingle cap, on by default). Semantics stay exact over
-    the capped shingle universe: per-doc sizes and intersections are both
-    computed post-cap, so the Jaccard value is internally consistent; a
-    shingle shared by >= max_posting docs carries ~zero similarity signal
-    anyway (it's corpus boilerplate). The HOT list itself is tiny by
-    construction (<= total_postings / max_posting entries), so the cap is a
-    map-combined groupBy to find it plus a broadcast LEFT ANTI to apply it
-    — no wide exchange of the posting relation for the cap at all (the
-    window-over-shingle form measured 2x slower at sf0.1: it shuffles and
-    sorts every posting row; the groupBy collapses duplicates map-side).
-    ``max_posting=None`` disables the cap."""
-    # the shingle relation feeds the hot-list agg, per-doc counts AND both
-    # sides of the posting self-join: persist so the explode runs once
+    Groups docs by identical (capped) shingle SET and computes exact Jaccard
+    once per distinct set pair. Returns ``(groups, gq)``:
+
+    - ``groups(gid, docs, n)``: one row per distinct capped shingle set;
+      ``gid`` = min doc_id of the group (so a group's gid is also the min
+      over its members), ``docs`` = sorted member ids, ``n`` = set size.
+    - ``gq(ga, gb, jaccard_ppm)``: CROSS-group pairs meeting the threshold.
+      Within-group pairs are implicitly Jaccard 1.0 (identical sets) and are
+      never enumerated here.
+
+    Why contract: Jaccard depends only on the two shingle sets, and web-scale
+    corpora are clone-dense — the r9 sf10 rehearsal's 100-clone groups put
+    3.6B rows through the doc-level posting self-join and 62 GB through one
+    local shuffle before this rewrite; at group level the same corpus is a
+    ~10M-row join. The df >= ``max_posting`` stop-shingle cap (see
+    ``jaccard_pairs``) is still applied at DOC level before grouping, so the
+    capped shingle universe — and therefore every emitted value — is
+    unchanged. The DuckDB oracles perform the identical collapse.
+    """
+    # the shingle relation feeds the hot-list agg and the per-doc set build:
+    # persist so the explode runs once
     sh = scoped_persist(sh, "jaccard.sh", eager=True)
     if max_posting is not None:
         hot = (
@@ -122,28 +127,106 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    dl = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sl")
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    groups = dl.groupBy("sl").agg(
+        F.min("doc_id").alias("gid"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+    )
+    # feeds the posting join (via sl), the expansion, and isolated-group
+    # handling — one eager persist kills in-flight recompute of the corpus
+    # scan + two shuffles behind it
+    groups = scoped_persist(
+        groups.select("gid", "docs", F.size("sl").alias("n"), "sl"),
+        "jaccard.groups",
+        eager=True,
+    )
+    gsh = groups.select("gid", "n", F.explode("sl").alias("shingle"))
+    a, b = gsh.alias("a"), gsh.alias("b")
     # Integer ppm, filtered on the same integer expression in both engines:
     # floor(j * 1e6) >= thr_ppm <=> j >= thr_ppm/1e6, so the pair set equals
     # the unrounded-threshold set while the emitted value is representation-
     # proof (no rounded doubles in hash-compared output).
     thr_ppm = int(round(threshold * 1_000_000))
-    jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
-    return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
-        .filter(F.col("jaccard_ppm") >= thr_ppm)
+    gcommon = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .groupBy(
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
     )
+    gq = gcommon.select(
+        "ga",
+        "gb",
+        F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+    ).filter(F.col("jaccard_ppm") >= F.lit(thr_ppm))
+    return groups.select("gid", "docs", "n"), gq
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_posting: int | None = 1000
+) -> DataFrame:
+    """Exact Jaccard over an inverted-index self-join.
+
+    Scale, layer 1 (hot-shingle cap): a corpus-frequent shingle makes the
+    posting self-join quadratic in its posting length, so postings with
+    document frequency >= ``max_posting`` are dropped from the index first
+    (stop-shingle cap, on by default). Semantics stay exact over the capped
+    shingle universe: per-doc sizes and intersections are both computed
+    post-cap, so the Jaccard value is internally consistent; a shingle
+    shared by >= max_posting docs carries ~zero similarity signal anyway
+    (it's corpus boilerplate). The HOT list itself is tiny by construction
+    (<= total_postings / max_posting entries), so the cap is a map-combined
+    groupBy plus a broadcast LEFT ANTI — no wide exchange of the posting
+    relation for the cap at all. ``max_posting=None`` disables the cap.
+
+    Scale, layer 2 (exact-duplicate contraction, r9): the cap bounds a
+    shingle's posting length but not CLONE density — a corpus where every
+    doc has k exact copies still pays k^2 per shared shingle under the cap.
+    The pair enumeration therefore runs on the set-group graph
+    (``jaccard_group_graph``): posting join once per distinct shingle set,
+    within-group pairs emitted as Jaccard 1.0 by construction, qualifying
+    cross-group set pairs expanded back to doc pairs. Output rows are
+    identical to the direct doc-level join's."""
+    groups, gq = jaccard_group_graph(sh, threshold, max_posting)
+    ga = groups.select(F.col("gid").alias("ga"), F.col("docs").alias("docs_a"))
+    gb = groups.select(F.col("gid").alias("gb"), F.col("docs").alias("docs_b"))
+    cross = (
+        gq.join(ga, "ga")
+        .join(gb, "gb")
+        .select("jaccard_ppm", F.explode("docs_a").alias("da"), "docs_b")
+        .select("jaccard_ppm", "da", F.explode("docs_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard_ppm",
+        )
+    )
+    thr_ppm = int(round(threshold * 1_000_000))
+    if thr_ppm > 1_000_000:
+        return cross  # identical-set pairs (ppm = 1e6) can't qualify
+    within = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("da"), "docs")
+        .select("da", F.explode("docs").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1_000_000).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @q(

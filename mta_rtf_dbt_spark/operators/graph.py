@@ -370,26 +370,61 @@ def semantic_dedup_canonical(
     )
 
 
+def doc_jaccard_components(
+    docs: DataFrame, threshold: float = 0.2, max_posting: int | None = 1000
+) -> DataFrame:
+    """comp(node, component) of the exact-Jaccard near-dup graph, computed
+    on the exact-duplicate-CONTRACTED graph (r9 sf10 rehearsal finding).
+
+    Docs with identical capped shingle sets form a clique at Jaccard 1.0;
+    running star rounds over those cliques shuffles O(clones^2) edge rows
+    per round — 62 GB of local shuffle at the sf10 rehearsal's 100-clone
+    density. Instead: contract each identical-set group to one vertex
+    (``dedup.jaccard_group_graph``), run CC on the cross-group edges only,
+    and expand labels to members. Labeling is unchanged: a group's gid is
+    the min doc_id of its members, so min-gid-reachable on the contracted
+    graph equals min-doc-reachable on the expanded graph; isolated groups
+    of size >= 2 label themselves gid (their clique's min); isolated
+    singletons have no edges and are excluded, exactly as
+    ``connected_components`` excludes isolated nodes."""
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_group_graph, shingles
+
+    groups, gq = jaccard_group_graph(shingles(docs, 3), threshold, max_posting)
+    comp_g = connected_components(gq.select("ga", "gb"), "ga", "gb")
+    return (
+        groups.join(comp_g.withColumnRenamed("node", "gid"), "gid", "left")
+        .filter(F.col("component").isNotNull() | (F.size("docs") >= 2))
+        .select(
+            F.explode("docs").alias("node"),
+            F.coalesce("component", "gid").alias("component"),
+        )
+    )
+
+
 @q("dedup_connected_components", _CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the exact-Jaccard near-dup pairs (>= 0.2) into components.
+    Engine: exact-duplicate-contracted star rounds (doc_jaccard_components).
     Oracle: bounded-round large-star/small-star replay over the same edges
     (``_cc_star_cte_chain``) — same labeling, linear per-round cost."""
-    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
-
-    edges = jaccard_pairs(
-        shingles(load(spark, sf_dir, "documents"), 3), 0.2, max_posting=1000
-    )
-    return connected_components(edges, "doc_a", "doc_b")
+    return doc_jaccard_components(load(spark, sf_dir, "documents"))
 
 
-def dedup_keep_list_frame(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_keep_list_frame(
+    docs: DataFrame,
+    edges: DataFrame | None,
+    id_col: str = "doc_id",
+    comp: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, canonical_id, keep): the delete-list a dedup pipeline
     executes. Every doc maps to its cluster's min doc_id (itself when it has
     no near-dup edge); ``keep`` marks the one canonical doc per cluster.
     Deleting ``NOT keep`` rows removes every transitive near-dup while
-    keeping exactly one representative."""
-    comp = connected_components(edges, "doc_a", "doc_b")
+    keeping exactly one representative. Pass ``comp`` (a (node, component)
+    labeling) to reuse a contracted clustering instead of re-running CC on
+    an expanded edge list."""
+    if comp is None:
+        comp = connected_components(edges, "doc_a", "doc_b")
     ids = docs.select(F.col(id_col).alias("node"))
     return ids.join(comp, "node", "left").select(
         F.col("node").alias(id_col),
@@ -539,11 +574,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>= 0.2) -> connected components -> one keep per cluster, every corpus
     doc present. Oracle: the bounded-round star-replay CC chain extended
     with the same canonical/keep projection."""
-    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
-
     docs = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
-    return dedup_keep_list_frame(docs, edges)
+    return dedup_keep_list_frame(docs, None, comp=doc_jaccard_components(docs))
 
 
 _KEEP_BEST_SQL = (
@@ -578,11 +610,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-combined argmax per cluster riding the canonical-id
     shuffle, then a join of cluster-count rows back onto the labeled
     corpus — no new corpus-sized shuffle beyond keep_list's."""
-    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
-
     docs = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
-    comp = connected_components(edges, "doc_a", "doc_b")
+    comp = doc_jaccard_components(docs)
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -630,11 +659,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is safe or a template family needs its own handling. Two
     map-combined aggregates over the keep-list labeling; the distribution
     is bucket-count-sized output."""
-    from mta_rtf_dbt_spark.operators.dedup import jaccard_pairs, shingles
-
     docs = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs(shingles(docs, 3), 0.2, max_posting=1000)
-    comp = connected_components(edges, "doc_a", "doc_b")
+    comp = doc_jaccard_components(docs)
     labeled = (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
