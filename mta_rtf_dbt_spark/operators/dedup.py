@@ -744,8 +744,29 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     — so the signature path is oracle-checked end to end (r3 verdict item 6:
     same discipline that upgraded dedup_minhash_lsh in r3)."""
     P, CB = MINHASH_P, MINHASH_CHAR_BASE
-    seed_rows = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_seeds(64))
+    seeds = _minhash_seeds(64)
+    # per-token wide parity family: c{i} = +/-1 as 64 COLUMNS over unique
+    # tokens — NOT a CROSS JOIN seeds row expansion (that pushed
+    # |tok| x 64 ~ 3.8B rows through one aggregate at the sf10 rehearsal
+    # and broke the oracle's memory/spill envelope; same fix as the
+    # minhash oracle's sig CTE, and the same one-pass 64-sum-column
+    # aggregate shape the Spark side runs)
+    par_cols = ",\n               ".join(
+        f"CASE WHEN ((hb * {a} + {b}) % {P}) % 2 = 1 THEN 1 ELSE -1 END AS c{i}"
+        for i, (a, b) in enumerate(seeds)
+    )
+    sum_cols = ", ".join(f"SUM(w.c{i}) AS s{i}" for i in range(64))
+
+    def band_val(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN s{b * _BITS + j} >= 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+            for j in range(_BITS)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    band_branches = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_val(b)} AS val FROM sigw"
+        for b in range(64 // _BITS)
     )
     return f"""
     WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
@@ -760,16 +781,13 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
                                   i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
                  (acc, c) -> (acc * {CB} + c) % {P}) AS hb
              FROM uniq),
-    seeds(i, a, b) AS (VALUES {seed_rows}),
-    bits AS (SELECT t.doc_id, s.i,
-                    SUM(CASE WHEN ((bs.hb * s.a + s.b) % {P}) % 2 = 1 THEN 1 ELSE -1 END) AS sbit
-             FROM tok t JOIN base bs USING (tok) CROSS JOIN seeds s
-             GROUP BY t.doc_id, s.i),
-    bands AS (SELECT doc_id, i // {_BITS} AS band,
-                     CAST(SUM(CASE WHEN sbit >= 0
-                                   THEN (CAST(1 AS BIGINT) << (i % {_BITS})) ELSE 0 END)
-                          AS BIGINT) AS val
-              FROM bits GROUP BY doc_id, i // {_BITS}),
+    parw AS (SELECT tok,
+               {par_cols}
+             FROM base),
+    sigw AS MATERIALIZED (SELECT t.doc_id, {sum_cols}
+            FROM tok t JOIN parw w USING (tok)
+            GROUP BY t.doc_id),
+    bands AS MATERIALIZED ({band_branches}),
     cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
