@@ -40,7 +40,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BATCH_TIMEOUT = int(os.environ.get("REHEARSAL_BATCH_TIMEOUT", "5400"))
 
 
+def _sweep_dead_shuffle_dirs() -> None:
+    """Remove /tmp shuffle debris left by DEAD JVMs between pytest sessions.
+
+    A batch that dies mid-flight (OOM kill, disk-full cascade) leaves its
+    blockmgr-*/spark-* dirs behind — tens of GB at sf10 — and the next solo
+    replay then starts with a starved disk and fails on shuffle WRITE (the
+    r9 sf10 sweep lost graph_clustering_coeff exactly this way). The runner
+    owns the host while a sweep runs and every pytest session is a fresh
+    process, so anything in these dirs with no live JVM is garbage."""
+    import glob
+    import shutil
+
+    if os.environ.get("REHEARSAL_KEEP_TMP"):
+        return
+    live = {
+        pid
+        for pid in os.listdir("/proc")
+        if pid.isdigit()
+        and os.path.exists(f"/proc/{pid}/comm")
+        and "java" in open(f"/proc/{pid}/comm").read()
+    }
+    if live:
+        return  # a JVM is still up (shouldn't happen between sessions) — don't guess
+    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _run(ids: list[str], env: dict) -> subprocess.CompletedProcess:
+    _sweep_dead_shuffle_dirs()
     return subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-rA", "--no-header", *ids],
         env=env,
