@@ -684,11 +684,20 @@ _TRIANGLE_SQL = """
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
+    -- forward algorithm over min-id-oriented adjacency lists, NOT a
+    -- pairs x pairs x pairs wedge join: the triple-join form leaves the
+    -- build-vs-probe choice on the WEDGE stream to the optimizer's
+    -- misestimate, and at the r9 sf10 rehearsal DuckDB built its hash
+    -- table on ~4B wedge rows — the kernel OOM-killed the oracle at
+    -- 110 GB. Here each triangle x<y<z is counted once at edge (x,y) as
+    -- z in N+(x) n N+(y); the adjacency lists are O(edges) total and the
+    -- intersect streams over the edge scan.
+    adj AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS nb FROM pairs GROUP BY u),
     tri AS (
-      SELECT count(*) AS n_triangles
-      FROM pairs e1
-      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
-      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+      SELECT COALESCE(SUM(len(list_intersect(au.nb, av.nb))), 0) AS n_triangles
+      FROM pairs e
+      JOIN adj au ON au.u = e.u
+      LEFT JOIN adj av ON av.u = e.v
     ),
     ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
     nn AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
@@ -855,20 +864,27 @@ _CLUSTER_COEFF_SQL = """
       FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
       GROUP BY 1
     ),
-    tri AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM pairs e1
-      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
-      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    -- forward algorithm over min-id-oriented adjacency lists (r9; same
+    -- rewrite as _TRIANGLE_SQL): the wedge triple-join left the hash
+    -- build side to an optimizer misestimate and the sf10 oracle was
+    -- kernel-OOM-killed at 110 GB. Each triangle x<y<z is found once at
+    -- edge (x,y) as z in N+(x) n N+(y); per-vertex credit = len(zs) to
+    -- both endpoints plus one per z, summed in one pass over the
+    -- materialized per-edge intersections (O(edges + triangles) rows).
+    adj AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS nb FROM pairs GROUP BY u),
+    etri AS MATERIALIZED (
+      SELECT e.u, e.v, list_intersect(au.nb, av.nb) AS zs
+      FROM pairs e
+      JOIN adj au ON au.u = e.u
+      JOIN adj av ON av.u = e.v
+      WHERE len(list_intersect(au.nb, av.nb)) > 0
     ),
     per_node AS (
-      -- single-pass vertex credit via unnest, NOT a 3-way UNION ALL of
-      -- tri: DuckDB inlines CTEs per reference, so the union form runs
-      -- the 1.5B-row wedge join three times and blew the 40 GiB spill
-      -- cap at the sf3 rehearsal (mirrors the Spark side's explode)
-      SELECT x AS node, CAST(count(*) AS BIGINT) AS n_triangles
-      FROM (SELECT unnest([a, b, c]) AS x FROM tri)
-      GROUP BY 1
+      SELECT node, CAST(SUM(t) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS node, len(zs) AS t FROM etri
+        UNION ALL SELECT v AS node, len(zs) AS t FROM etri
+        UNION ALL SELECT z AS node, 1 AS t FROM (SELECT unnest(zs) AS z FROM etri)
+      ) GROUP BY 1
     )
     SELECT d.node, d.deg,
            COALESCE(p.n_triangles, 0) AS n_triangles,
