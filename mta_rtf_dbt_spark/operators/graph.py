@@ -28,6 +28,7 @@ same edge set.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -387,6 +388,14 @@ def doc_jaccard_components(
     of size >= 2 label themselves gid (their clique's min); isolated
     singletons have no edges and are excluded, exactly as
     ``connected_components`` excludes isolated nodes."""
+    # The contraction treats identical-set groups as intra-cluster cliques,
+    # which is only sound when within-group Jaccard (exactly 1.0) meets the
+    # threshold — fail loudly rather than mislabel (r9 ADVICE).
+    if not threshold <= 1.0:
+        raise ValueError(
+            f"doc_jaccard_components: threshold {threshold} > 1.0 breaks the "
+            "identical-set clique contraction (within-group Jaccard is 1.0)"
+        )
     from mta_rtf_dbt_spark.operators.dedup import jaccard_group_graph, shingles
 
     groups, gq = jaccard_group_graph(shingles(docs, 3), threshold, max_posting)
@@ -729,42 +738,43 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame
     return scoped_persist(pairs, scope, eager=True)
 
 
-def _tri_stream(pairs: DataFrame) -> DataFrame:
-    """Degree-ordered triangle stream: each undirected edge is oriented
-    from its lower-(degree, id) endpoint to its higher one, wedges form at
-    the common SOURCE of two oriented edges, and the closing edge is
-    probed against the canonical (u < v) relation. Every triangle has
-    exactly one vertex whose oriented out-edges reach the other two (its
-    lowest-rank vertex), so each triangle appears exactly once. Columns
-    ``(a, b, c)`` where ``a`` is the pivot (lowest-rank) vertex and
-    ``b < c`` by id.
+# Broadcast budget for the oriented adjacency relation (bytes, estimated).
+# Spark's hard BroadcastExchange ceiling is 8 GB / 512M rows; the default
+# here leaves headroom for UnsafeRow overhead on top of the 8 B/element
+# payload estimate. Env-overridable for bigger-memory hosts.
+ADJ_BROADCAST_MAX = int(os.environ.get("GRAFT_ADJ_BROADCAST_MAX", 4_000_000_000))
 
-    Why degree ordering (r6 verdict item 3): with smallest-ID orientation
-    a single hot vertex of degree d contributes C(d, 2) wedges from ONE
-    join key, so per-key skew survives any total-width repartition. After
-    degree ordering, per-vertex oriented out-degree is bounded by
-    O(sqrt(m)) on any graph (the standard arboricity argument behind
-    compact-forward / Latapy's algorithm), which bounds per-key wedge
-    volume on power-law graphs too — the plan-level fix, with AQE
-    skew-split as backstop rather than primary defense.
 
-    The oriented wedge relation still has sum_u C(out_deg_u, 2) rows —
-    SUPER-LINEAR in edges — and the closing-edge sort-merge join must
-    sort it. A fixed ``spark.sql.shuffle.partitions`` cannot absorb a
-    super-linear intermediate: the sf3 rehearsal (36M edges -> 1.48B
-    wedges over 32 partitions, SURVEY §6) put tens of millions of rows
-    through each task's UnsafeExternalSorter, which died growing its
-    pointer array (SparkOutOfMemoryError) before spilling could help. So
-    the stream's width is PRICED first: one map-combined aggregate over
-    the oriented edges computes sum C(out_deg, 2) — the exact oriented
-    wedge count (a sizing quantity, NOT the per-node ``n_wedges`` =
-    C(full_degree, 2) the clustering coefficient reports) — and the
-    stream is explicitly hash-repartitioned on the closing-edge keys to
-    ~2M rows per task; EnsureRequirements gives the edge side of the join
-    the same width for free. When the estimate fits the session default
-    the repartition degenerates to the exchange the join would have
-    inserted anyway — same plan, no extra shuffle."""
-    spark = pairs.sparkSession
+def _edge_triangles(pairs: DataFrame) -> DataFrame:
+    """Per-edge triangle closings via the adjacency-intersect FORWARD
+    algorithm — wedges are NEVER materialized as rows (r9 verdict item 1).
+
+    Each undirected edge is oriented from its lower-(degree, id) endpoint
+    to its higher one; ``N+(x)`` is x's oriented out-neighborhood. Every
+    triangle x, y, z (ranked x < y < z) is found exactly once at oriented
+    edge (x, y) as ``z in N+(x) ∩ N+(y)``. Returns ``(u, v, zs)`` where
+    ``zs`` is the (possibly empty) sorted array of closing vertices —
+    ``sum(size(zs))`` is the exact triangle count and the (u, v, z) credit
+    expansion is O(edges + triangles) rows.
+
+    Why this beats the wedge stream it replaces: the former plan
+    materialized sum_u C(out_deg_u, 2) wedge ROWS and shuffled them to meet
+    the closing edge — SUPER-LINEAR in edges, and no repartition width
+    fixes byte volume (the r9 sf10 rehearsal wrote >35 GB of wedge shuffle
+    and died on ENOSPC). Here the only wide shuffles are O(edges): the
+    degree joins and the adjacency-list groupBy. The per-edge intersect
+    runs inside one stage over broadcast adjacency — each array is
+    O(sqrt(m)) long by the degree-orientation/arboricity bound, so the
+    row-at-a-time ``array_intersect`` is cheap and skew-proof.
+
+    Adjacency broadcast is O(edges) bytes total (every oriented edge
+    appears in exactly one list). When the estimate exceeds
+    ``ADJ_BROADCAST_MAX`` the same plan runs as shuffle joins: byte volume
+    becomes O(sum out_deg^2) <= m^1.5 in the second join's exchange —
+    super-linear again, but spread across a cluster's aggregate shuffle
+    disks rather than one host's /tmp, and bounded per-key by the same
+    sqrt(m) orientation bound. The warning makes the regime change loud.
+    """
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -786,62 +796,53 @@ def _tri_stream(pairs: DataFrame) -> DataFrame:
         "tri.oriented",
         eager=True,
     )
-    n_wedges = (
-        oriented.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
-        .first()[0]
-        or 0
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nb")
     )
-    cores = spark.sparkContext.defaultParallelism
-    want = n_wedges // 2_000_000 + 1
-    parts = int(max(cores, min(4096, want)))
-    if want > 4096:
-        # the ~2M-rows/task target is abandoned past ~8.2B wedges (ADVICE
-        # r6): say so loudly rather than silently reintroducing the
-        # per-task sorter-growth OOM mode at that scale
+    # Size the broadcast from the cheap persisted-edge count: payload is
+    # 8 B/element * E plus per-row overhead (~24 B * V <= 24 B * E).
+    n_edges = oriented.count()
+    est_bytes = n_edges * 32
+    if est_bytes <= ADJ_BROADCAST_MAX:
+        au = F.broadcast(adj)
+        av = F.broadcast(adj)
+    else:
         import warnings
 
         warnings.warn(
-            f"_tri_stream: wedge estimate {n_wedges:,} needs {want} "
-            "partitions but is capped at 4096 (~"
-            f"{n_wedges // 4096 / 1e6:.1f}M rows/task); raise the cap or "
-            "executor memory beyond this scale",
+            f"_edge_triangles: adjacency estimate {est_bytes / 1e9:.1f} GB "
+            f"exceeds GRAFT_ADJ_BROADCAST_MAX={ADJ_BROADCAST_MAX / 1e9:.1f} GB"
+            " — falling back to shuffle joins (O(sum out_deg^2) exchange "
+            "bytes; fine on cluster aggregate disk, heavy on one host)",
             stacklevel=2,
         )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (
-        e1.join(
-            e2,
-            (F.col("e2.src") == F.col("e1.src"))
-            & (F.col("e2.dst") > F.col("e1.dst")),
-        )
+        au, av = adj, adj
+    au = au.select(F.col("src").alias("u"), F.col("nb").alias("nb_u"))
+    av = av.select(F.col("src").alias("v"), F.col("nb").alias("nb_v"))
+    # Inner joins: every src has a list by construction; a dst with no
+    # out-edges closes no triangle, so dropping its edges is exact.
+    return (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")
         .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+            "u", "v", F.array_intersect("nb_u", "nb_v").alias("zs")
         )
-        .repartition(parts, "b", "c")
     )
-    # closing edge probed against the canonical u<v relation: b < c by
-    # construction, so (b, c) is already canonical
-    e3 = pairs.alias("e3")
-    return wedges.join(
-        e3, (F.col("e3.u") == F.col("b")) & (F.col("e3.v") == F.col("c"))
-    ).select("a", "b", "c")
 
 
 @q("graph_triangles", _TRIANGLE_SQL)
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the part co-purchase graph — the
     clustering-coefficient numerator and the third iterative-graph member
-    next to CC and PageRank. Triangle enumeration and the wedge-width
-    policy live in ``_tri_stream``: edges are oriented by (degree, id) so
-    wedges form at each triangle's lowest-DEGREE vertex, bounding per-key
-    wedge volume on power-law graphs (r6 verdict item 3)."""
+    next to CC and PageRank. Enumeration lives in ``_edge_triangles``
+    (adjacency-intersect forward algorithm, r9 verdict item 1): triangles
+    are counted per edge as the intersection size of the endpoints'
+    degree-oriented out-neighborhoods — wedges never become rows, so the
+    only wide shuffles are O(edges)."""
     pairs = _copurchase_pairs(spark, sf_dir, "tri.pairs")
-    tri = _tri_stream(pairs).agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    tri = _edge_triangles(pairs).agg(
+        F.coalesce(F.sum(F.size("zs")), F.lit(0)).cast("long").alias("n_triangles")
     )
     ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     nn = (
@@ -897,10 +898,13 @@ _CLUSTER_COEFF_SQL = """
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the co-purchase graph,
     released as the exact integer fraction (n_triangles, n_wedges =
-    deg·(deg−1)/2) — the consumer divides; nothing floats. Triangles
-    found once by the oriented wedge join are credited to all three
-    vertices via a 3-way explode-and-count — one extra map-combined
-    aggregate on top of graph_triangles' joins."""
+    deg·(deg−1)/2) — the consumer divides; nothing floats. Triangles come
+    from ``_edge_triangles`` (adjacency-intersect, r9 verdict item 1) and
+    are credited to all three vertices in ONE pipelined pass: each per-edge
+    row (u, v, zs) contributes (u, |zs|), (v, |zs|), and (z, 1) per closing
+    vertex via a single explode of a concatenated struct array feeding the
+    map-side-combined aggregate — O(edges + triangles) generated rows, no
+    wedge relation, no branch re-execution."""
     pairs = _copurchase_pairs(spark, sf_dir, "ccoef.pairs")
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -908,17 +912,27 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    # credit each triangle to all three vertices in ONE pass: explode is a
-    # pipelined generator feeding the partial agg in the same stage. The
-    # unionAll-of-three-selects form re-EXECUTES the unpersisted triangle
-    # join once per branch — and the branches run concurrently, so the sf3
-    # rehearsal had three 1.5B-row wedge sorts in flight at once and died
-    # of heap OOM where graph_triangles' single pass sailed through.
-    tri = _tri_stream(pairs)
-    per_node = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    etri = _edge_triangles(pairs).filter(F.size("zs") > 0)
+    t = F.size("zs").cast("long")
+    contrib = etri.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").cast("long").alias("node"), t.alias("t")),
+                    F.struct(F.col("v").cast("long").alias("node"), t.alias("t")),
+                ),
+                F.transform(
+                    "zs",
+                    lambda z: F.struct(
+                        z.cast("long").alias("node"),
+                        F.lit(1).cast("long").alias("t"),
+                    ),
+                ),
+            )
+        ).alias("c")
+    ).select("c.node", "c.t")
+    per_node = contrib.groupBy("node").agg(
+        F.sum("t").cast("long").alias("n_triangles")
     )
     return deg.join(per_node, "node", "left").select(
         "node",

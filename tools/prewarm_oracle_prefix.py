@@ -59,6 +59,15 @@ def main() -> int:
         # feeding the bare prefix + final-CTE select through the same code
         # path the tests use guarantees an identical cache key and contents
         rewritten = _apply_shared_prefix(con, f"{prefix}\nSELECT {cols} FROM {cte}")
+        if "read_parquet('" not in rewritten:
+            # fail with the cause, not a bare IndexError (r9 ADVICE): the
+            # rewrite only fires when the query's prefix text matches
+            # ORACLE_SHARED_PREFIXES verbatim
+            raise RuntimeError(
+                f"prefix[{cte}] did not match ORACLE_SHARED_PREFIXES — "
+                "_apply_shared_prefix returned the query unrewritten; the "
+                "prefix text has drifted out of sync with graph.py"
+            )
         path = rewritten.split("read_parquet('")[1].split("'")[0]
         n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         sz = os.path.getsize(path)

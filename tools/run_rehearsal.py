@@ -54,12 +54,19 @@ def _sweep_dead_shuffle_dirs() -> None:
 
     if os.environ.get("REHEARSAL_KEEP_TMP"):
         return
+    def _comm(pid: str) -> str:
+        # TOCTOU-safe (r9 ADVICE): the process can exit between listdir and
+        # the read — treat a vanished pid as not-a-JVM instead of crashing
+        # the runner; read_text also closes the handle.
+        try:
+            import pathlib
+
+            return pathlib.Path(f"/proc/{pid}/comm").read_text()
+        except OSError:
+            return ""
+
     live = {
-        pid
-        for pid in os.listdir("/proc")
-        if pid.isdigit()
-        and os.path.exists(f"/proc/{pid}/comm")
-        and "java" in open(f"/proc/{pid}/comm").read()
+        pid for pid in os.listdir("/proc") if pid.isdigit() and "java" in _comm(pid)
     }
     if live:
         return  # a JVM is still up (shouldn't happen between sessions) — don't guess
@@ -151,10 +158,18 @@ def main() -> int:
                 if rp.returncode != 0:
                     # stdout carries the pytest traceback; stderr is mostly
                     # Spark progress bars — tail them SEPARATELY or the
-                    # bars swallow the actual assertion message
+                    # bars swallow the actual assertion message. The exact
+                    # exception also gets its own field: the r9 sf10 sweep's
+                    # 2,500-char tail truncated the DuckDB error mid-word and
+                    # the fix shipped blind (r9 verdict item 2).
                     results.setdefault("fail_tails", {})[name] = {
-                        "stdout": rp.stdout[-2500:],
-                        "stderr": rp.stderr[-500:],
+                        "stdout": rp.stdout[-8000:],
+                        "stderr": rp.stderr[-800:],
+                        "error_lines": [
+                            ln
+                            for ln in rp.stdout.splitlines()
+                            if ln.startswith("E ")
+                        ][:40],
                     }
             except subprocess.TimeoutExpired:
                 real_fail.append(name)
