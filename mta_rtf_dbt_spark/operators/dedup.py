@@ -738,11 +738,85 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     )
 
 
+def simhash_group_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate-CONTRACTED SimHash pairs (r9 verdict item 2 — the
+    same set-group rewrite that saved minhash/jaccard at sf10, applied to
+    SimHash: the signature is a pure function of the token multiset, so
+    docs with identical normalized text share one signature).
+
+    Plan: group docs by normalized text -> one signature per GROUP (gid =
+    min member id) -> pigeonhole band self-join + exact Hamming at group
+    level -> expand qualifying group pairs back to doc pairs. Within-group
+    pairs have Hamming 0 by construction and are emitted by expansion, never
+    enumerated through the band join — on a clone-dense corpus (the sf10
+    rehearsal's 100-clone groups) the candidate join shrinks ~clones^2 per
+    group, which is what made the uncontracted entry's oracle die at sf10.
+    Output is bit-identical to the uncontracted form: equal normalized text
+    => equal signature => all bands shared and Hamming 0 <= max_hamming, so
+    every within-group pair was already emitted; cross-group band sharing
+    and Hamming are signature-level facts.
+
+    Token-less groups (empty normalized text) produce no signature row —
+    exactly as token-less docs never entered the uncontracted band join —
+    so expansion is driven by groups that signed."""
+    groups = docs.groupBy(
+        T.normalize(F.col(text_col)).alias("__norm")
+    ).agg(
+        F.min(id_col).alias("gid"),
+        F.sort_array(F.collect_list(id_col)).alias("docs"),
+    )
+    # feeds the signature build, both expansion branches, and the size
+    # filter — one eager persist kills in-flight recompute of the scan
+    groups = scoped_persist(groups, "simhash.groups", eager=True)
+    sigs = simhash_bands(
+        groups.select(F.col("gid").alias("doc_id"), F.col("__norm").alias("text"))
+    )
+    # group-level band join (gid plays doc_id); simhash_pairs persists sigs
+    gp = simhash_pairs(sigs, max_hamming=max_hamming)
+    members = groups.select("gid", "docs")
+    cross = (
+        gp.join(members.withColumnsRenamed({"gid": "doc_a", "docs": "docs_a"}), "doc_a")
+        .join(members.withColumnsRenamed({"gid": "doc_b", "docs": "docs_b"}), "doc_b")
+        .select(F.explode("docs_a").alias("da"), "docs_b", "hamming")
+        .select("da", F.explode("docs_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    signed = sigs.select(F.col("doc_id").alias("gid"))
+    within = (
+        members.join(signed, "gid")
+        .filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.unionByName(within)
+
+
 def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     """DuckDB replay of the FULL SimHash pipeline — portable per-bit parity
     hashes, sign sums, band packing, pigeonhole candidate join, exact Hamming
     — so the signature path is oracle-checked end to end (r3 verdict item 6:
-    same discipline that upgraded dedup_minhash_lsh in r3)."""
+    same discipline that upgraded dedup_minhash_lsh in r3).
+
+    Exact-duplicate-contracted (r9 verdict item 2, mirroring the engine's
+    ``simhash_group_pairs``): the signature is a function of the token
+    multiset, so docs are grouped by normalized text, signed once per group,
+    band-joined at GROUP level, and qualifying group pairs are expanded back
+    to doc pairs; within-group pairs are Hamming 0 by construction. The
+    uncontracted band join put clones^2 candidate rows per clone group
+    through the DISTINCT at the r9 sf10 rehearsal (100-clone groups) and
+    died after 22 min; the contracted working set is ~clones^2 smaller
+    while every emitted (doc_a, doc_b, hamming) row is unchanged."""
     P, CB = MINHASH_P, MINHASH_CHAR_BASE
     seeds = _minhash_seeds(64)
     # per-token wide parity family: c{i} = +/-1 as 64 COLUMNS over unique
@@ -765,13 +839,17 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
         return f"CAST({terms} AS BIGINT)"
 
     band_branches = "\n              UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {band_val(b)} AS val FROM sigw"
+        f"SELECT gid, {b} AS band, {band_val(b)} AS val FROM sigw"
         for b in range(64 // _BITS)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') arr
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
                   FROM documents),
-    tok AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(arr) AS tok FROM toks)
+    grp AS MATERIALIZED (SELECT norm, MIN(doc_id) AS gid,
+                                list(doc_id ORDER BY doc_id) AS docs
+                         FROM norm GROUP BY norm),
+    tok AS (SELECT gid, tok
+            FROM (SELECT gid, unnest(string_split(norm, ' ')) AS tok FROM grp)
             WHERE tok <> ''),
     uniq AS (SELECT DISTINCT tok FROM tok),
     base AS (SELECT tok,
@@ -784,20 +862,29 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     parw AS (SELECT tok,
                {par_cols}
              FROM base),
-    sigw AS MATERIALIZED (SELECT t.doc_id, {sum_cols}
+    sigw AS MATERIALIZED (SELECT t.gid, {sum_cols}
             FROM tok t JOIN parw w USING (tok)
-            GROUP BY t.doc_id),
+            GROUP BY t.gid),
     bands AS MATERIALIZED ({band_branches}),
-    cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+    cand AS (SELECT DISTINCT a.gid ga, b.gid gb
              FROM bands a JOIN bands b
-               ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
-    ham AS (SELECT c.doc_a, c.doc_b,
-                   CAST(SUM(bit_count(xor(ba.val, bb.val))) AS BIGINT) AS hamming
-            FROM cand c
-            JOIN bands ba ON ba.doc_id = c.doc_a
-            JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
-            GROUP BY 1, 2)
-    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}
+               ON a.band = b.band AND a.val = b.val AND a.gid < b.gid),
+    gham AS (SELECT c.ga, c.gb,
+                    CAST(SUM(bit_count(xor(ba.val, bb.val))) AS BIGINT) AS hamming
+             FROM cand c
+             JOIN bands ba ON ba.gid = c.ga
+             JOIN bands bb ON bb.gid = c.gb AND bb.band = ba.band
+             GROUP BY 1, 2)
+    SELECT least(ua.da, ub.db) AS doc_a, greatest(ua.da, ub.db) AS doc_b,
+           h.hamming
+    FROM gham h JOIN grp a ON a.gid = h.ga JOIN grp b ON b.gid = h.gb,
+         UNNEST(a.docs) AS ua(da), UNNEST(b.docs) AS ub(db)
+    WHERE h.hamming <= {max_hamming}
+    UNION ALL
+    SELECT ua.da AS doc_a, ub.db AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM grp g JOIN sigw s ON s.gid = g.gid,
+         UNNEST(g.docs) AS ua(da), UNNEST(g.docs) AS ub(db)
+    WHERE ua.da < ub.db
     """
 
 
@@ -884,6 +971,7 @@ def dedup_simhash(spark, sf_dir):
     production radius; 4x16-bit pigeonhole bands). Fully oracle-checked
     since r4: portable polynomial bit hashes mean DuckDB reproduces
     signatures, band values, the candidate set AND the Hamming distances
-    bit-for-bit. Tests additionally assert the known exact near-dup pairs
-    are recovered."""
-    return simhash_pairs(simhash_bands(load(spark, sf_dir, "documents")))
+    bit-for-bit. Exact-duplicate-contracted since r10 (engine AND oracle —
+    see ``simhash_group_pairs``). Tests additionally assert the known
+    exact near-dup pairs are recovered."""
+    return simhash_group_pairs(load(spark, sf_dir, "documents"))
