@@ -74,15 +74,192 @@ def entry(spark: SparkSession) -> DataFrame:
 # periodic re-verification. The tail is entries green in the most recent
 # window — they yield the window to staler cohorts.
 _PRIORITY = [
-    # ---- r9 rotation (r8 verdict item 3): the window is the r4-stale
-    #      cohort — the 34 entries whose latest external driver row is
-    #      round 4 (5 rounds old) — topped up to 50 with the r5 cohort
-    #      heads: the 12 mta_m* metrics, the portable sketch triad, and
-    #      rag_chunk_retrieval. Nothing's oracle or engine plan changed
-    #      this round (the CC-chain oracle gained a HARNESS-side shared
-    #      prefix only; its SQL strings are unchanged), so step (a) is
-    #      empty and step (d) staleness ordering owns the window. All
-    #      pass the in-repo sf0.01 parity replica continuously. ----
+    # ---- r10 rotation (r9 verdict item 3): lead with the SEVEN entries
+    #      whose oracle or engine plan changed after the r9 rotation froze
+    #      (the simhash contraction, the set-group CC chain, and the
+    #      adjacency-intersect triangle rewrite — none has an external row
+    #      for its current form), then the r5-stale cohort (33 entries, 5
+    #      rounds old), topped up to 50 with the r6-cohort heads. ----
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_keep_list",
+    "dedup_keep_best",
+    "dedup_cluster_stats",
+    "graph_triangles",
+    "graph_clustering_coeff",
+    # -- r5-stale cohort (latest external green: round 5) --
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "a_array_agg_sorted",
+    "a_salted_skew_agg",
+    "a_histogram_values",
+    "corpus_curation_funnel",
+    "w5_range_interval_frame",
+    "gdpr_erasure_audit",
+    "incremental_agg_retract",
+    "mta_fts_insert_overwrite",
+    "stream_stream_left_join",
+    "mta_fts_incremental",
+    "mta_stream_fts",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q16_supplier_diversity",
+    "q20_concentrated_supply",
+    "s_tablesample_hash",
+    "ann_lsh_filtered",
+    "text_bloom_decontaminate",
+    "stream_heavy_hitters",
+    "a_kmv_setops",
+    "a_hdr_quantiles",
+    "a_event_funnel",
+    "a_cohort_retention",
+    "j_temporal_scd2_lookup",
+    "graph_pagerank",
+    "a_skew_report",
+    "mta_dq_checks",
+    "j_full_outer_reconcile",
+    # -- r6-cohort heads topping the window up to 50 --
+    "mix_temperature_sample",
+    "a_mad_outliers",
+    "stream_agg_maintenance",
+    "curriculum_shard_plan",
+    "pack_boundaries",
+    "a_histogram_equidepth",
+    "m1_gapfill_interpolate",
+    "layout_compaction_plan",
+    "m_anomaly_rolling_zscore",
+    "mix_epoch_upsample",
+    # ---- position 50: the driver's check window ends here. The r6
+    #      remainder is the first overflow if the driver checks past 50. ----
+    "multimodal_image_meta",
+    "sample_group_kfold",
+    "dq_schema_contract",
+    "text_bm25_topk",
+    "incremental_join_maintenance",
+    "j_null_safe_join",
+    "f_array_hof_pack",
+    "s6_cdc_diff",
+    "lm_ccnet_buckets",
+    "a_dp_noisy_counts",
+    "a_k_anonymity_audit",
+    "a_attribution_last_touch",
+    "source_json_corrupt_records",
+    "a_running_distinct_users",
+    "j_asof_tolerance",
+    "dq_join_fanout",
+    "a_winsorize_census",
+    "a_label_entropy",
+    "geo_nearest_stop",
+    "geo_geohash_stops",
+    "a_ewma_smoothed",
+    "a_market_basket_rules",
+    "text_phrase_search",
+    "a_concurrency_sweepline",
+    "embedding_dim_stats",
+    "layout_backfill_plan",
+    "ann_hard_negatives",
+    "lm_vocab_drift_kl",
+    "text_url_domains",
+    "a_event_transitions",
+    "a_conversion_wilson",
+    "a_benford_digits",
+    "m_feed_gap_detection",
+    # -- rows-only entries (weaker count-check either way) --
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
+    # -- remaining cohorts stalest-first: r7, then r8, then (freshest —
+    #    just verified in the r9 window) r9; relative order preserved --
+    "q17_small_quantity_revenue",
+    "j4_dim_double_alias_star",
+    "j5_j7_using_cast_key",
+    "j6_banded_range_join",
+    "a3_any_value_det",
+    "a5_argmin_argmax",
+    "a9_percentiles",
+    "w2_dedup_latest_per_user",
+    "w3_lag_headway",
+    "o1_topk_orders",
+    "set_ops",
+    "s7_inline_unnest",
+    "f_string_hash_pack",
+    "f_datetime_pack",
+    "f_gtfs_clock_overflow",
+    "j_semi_anti",
+    "a_rollup",
+    "a_grouping_sets",
+    "a_pivot_status_by_priority",
+    "a_unpivot_measures",
+    "w4_rank_pack",
+    "f_json_map_pack",
+    "f_map_construct_explode",
+    "m1_analog_actors_per_minute",
+    "m2_analog_5min_buckets",
+    "m4_analog_terminal_otp",
+    "m5_analog_headways",
+    "m6_analog_dwell",
+    "m7_analog_run_time",
+    "m8_analog_excess_delay",
+    "m10_analog_added_share",
+    "m12_analog_wait_assessment",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "m3_analog_service_delivered",
+    "m11_analog_latency",
+    "corpus_ngram_counts",
+    "lm_unigram_scores",
+    "text_winnow_fingerprints",
+    "zorder_values_orders",
+    "dedup_exact",
+    "knn_brute_force_cosine",
+    "ann_lsh_cosine",
+    "embedding_near_dup",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "ann_int8_rerank",
+    "text_analysis_pack",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "pack_sequences",
+    "chunk_documents",
+    "tokenize_vocab_topk",
+    "tokenize_encode_oov",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sample_train_test_split",
+    "sample_stratified_events",
+    "mix_source_quota",
+    "mix_token_budget",
+    "sample_weighted_topk",
+    "stream_m1_actors_per_minute",
+    "stream_first_observation_keys",
+    "stream_sessionize",
+    "sessionize_batch",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_stateful_running_totals",
+    "stream_tws_user_profile",
+    "ingest_flatten_roundtrip",
+    "source_csv_json_roundtrip",
+    "dq_report_testdata",
+    "s6_merge_upsert",
+    "mta_fact_trips_stops",
+    "mta_fact_trips",
+    "mta_fact_delays",
+    "mta_fact_alerts",
     "a678_counts_rates",
     "m9_analog_completeness",
     "q7_volume_shipping",
@@ -133,186 +310,6 @@ _PRIORITY = [
     "a_cms_portable",
     "a_kmv_portable",
     "rag_chunk_retrieval",
-    # ---- position 50: the driver's check window ends here. bpe_* are the
-    #      remaining r5 heads named in the r8 verdict — first overflow if
-    #      the driver checks past 50. ----
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    # -- rows-only entries (weaker count-check either way) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- remaining cohorts stalest-first: the r5 remainder, then the r6,
-    #    r7 and (deepest — just verified) r8 windows, relative order
-    #    preserved from the r8 rotation --
-    "dedup_connected_components",
-    "dedup_keep_list",
-    "dedup_keep_best",
-    "dedup_cluster_stats",
-    "m3_analog_service_delivered",
-    "m11_analog_latency",
-    "corpus_ngram_counts",
-    "lm_unigram_scores",
-    "text_winnow_fingerprints",
-    "zorder_values_orders",
-    "dedup_exact",
-    "knn_brute_force_cosine",
-    "ann_lsh_cosine",
-    "embedding_near_dup",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "ann_int8_rerank",
-    "text_analysis_pack",
-    "text_decontaminate",
-    "text_dup_spans",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_tfidf_top_terms",
-    "pack_sequences",
-    "chunk_documents",
-    "tokenize_vocab_topk",
-    "tokenize_encode_oov",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "sample_train_test_split",
-    "sample_stratified_events",
-    "mix_source_quota",
-    "mix_token_budget",
-    "sample_weighted_topk",
-    "stream_m1_actors_per_minute",
-    "stream_first_observation_keys",
-    "stream_sessionize",
-    "sessionize_batch",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_stateful_running_totals",
-    "stream_tws_user_profile",
-    "ingest_flatten_roundtrip",
-    "source_csv_json_roundtrip",
-    "dq_report_testdata",
-    "s6_merge_upsert",
-    "mta_fact_trips_stops",
-    "mta_fact_trips",
-    "mta_fact_delays",
-    "mta_fact_alerts",
-    "a_array_agg_sorted",
-    "a_salted_skew_agg",
-    "a_histogram_values",
-    "dedup_simhash",
-    "corpus_curation_funnel",
-    "w5_range_interval_frame",
-    "gdpr_erasure_audit",
-    "incremental_agg_retract",
-    "mta_fts_insert_overwrite",
-    "stream_stream_left_join",
-    "mta_fts_incremental",
-    "mta_stream_fts",
-    "q9_product_profit",
-    "q21_sole_returner",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_split",
-    "q16_supplier_diversity",
-    "q20_concentrated_supply",
-    "s_tablesample_hash",
-    "ann_lsh_filtered",
-    "text_bloom_decontaminate",
-    "stream_heavy_hitters",
-    "a_kmv_setops",
-    "a_hdr_quantiles",
-    "a_event_funnel",
-    "a_cohort_retention",
-    "j_temporal_scd2_lookup",
-    "graph_pagerank",
-    "a_skew_report",
-    "mta_dq_checks",
-    "j_full_outer_reconcile",
-    "mix_temperature_sample",
-    "a_mad_outliers",
-    "stream_agg_maintenance",
-    "curriculum_shard_plan",
-    "pack_boundaries",
-    "a_histogram_equidepth",
-    "m1_gapfill_interpolate",
-    "layout_compaction_plan",
-    "m_anomaly_rolling_zscore",
-    "mix_epoch_upsample",
-    "multimodal_image_meta",
-    "sample_group_kfold",
-    "dq_schema_contract",
-    "text_bm25_topk",
-    "incremental_join_maintenance",
-    "j_null_safe_join",
-    "f_array_hof_pack",
-    "s6_cdc_diff",
-    "lm_ccnet_buckets",
-    "a_dp_noisy_counts",
-    "a_k_anonymity_audit",
-    "a_attribution_last_touch",
-    "source_json_corrupt_records",
-    "a_running_distinct_users",
-    "j_asof_tolerance",
-    "dq_join_fanout",
-    "a_winsorize_census",
-    "a_label_entropy",
-    "geo_nearest_stop",
-    "geo_geohash_stops",
-    "a_ewma_smoothed",
-    "a_market_basket_rules",
-    "text_phrase_search",
-    "a_concurrency_sweepline",
-    "embedding_dim_stats",
-    "layout_backfill_plan",
-    "ann_hard_negatives",
-    "lm_vocab_drift_kl",
-    "text_url_domains",
-    "a_event_transitions",
-    "a_conversion_wilson",
-    "a_benford_digits",
-    "m_feed_gap_detection",
-    "graph_triangles",
-    "graph_clustering_coeff",
-    "q17_small_quantity_revenue",
-    "j4_dim_double_alias_star",
-    "j5_j7_using_cast_key",
-    "j6_banded_range_join",
-    "a3_any_value_det",
-    "a5_argmin_argmax",
-    "a9_percentiles",
-    "w2_dedup_latest_per_user",
-    "w3_lag_headway",
-    "o1_topk_orders",
-    "set_ops",
-    "s7_inline_unnest",
-    "f_string_hash_pack",
-    "f_datetime_pack",
-    "f_gtfs_clock_overflow",
-    "j_semi_anti",
-    "a_rollup",
-    "a_grouping_sets",
-    "a_pivot_status_by_priority",
-    "a_unpivot_measures",
-    "w4_rank_pack",
-    "f_json_map_pack",
-    "f_map_construct_explode",
-    "m1_analog_actors_per_minute",
-    "m2_analog_5min_buckets",
-    "m4_analog_terminal_otp",
-    "m5_analog_headways",
-    "m6_analog_dwell",
-    "m7_analog_run_time",
-    "m8_analog_excess_delay",
-    "m10_analog_added_share",
-    "m12_analog_wait_assessment",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
 ]
 
 
