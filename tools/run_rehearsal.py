@@ -72,6 +72,16 @@ def _sweep_dead_shuffle_dirs() -> None:
         return  # a JVM is still up (shouldn't happen between sessions) — don't guess
     for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
         shutil.rmtree(d, ignore_errors=True)
+    # DuckDB temp storage from a dead oracle process is the same class of
+    # debris (r10: 42 GB of duckdb_temp_storage-*.tmp from killed r9 runs
+    # was silently halving the free disk the sf10 rung needs). The oracle
+    # spill dir is conftest-owned and every pytest session is fresh, so
+    # with no live python-owned duckdb these files are garbage too.
+    for f in glob.glob("/tmp/duckdb_oracle_spill/duckdb_temp_storage-*.tmp"):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
 
 
 def _run(ids: list[str], env: dict) -> subprocess.CompletedProcess:
