@@ -47,6 +47,12 @@ BUILD_CONFS: dict[str, str] = {
     # localCheckpoints). Launch-time only: applies to the first session the
     # process builds, which get_spark controls in tests/bench.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # BroadcastExchange collects count against spark.driver.maxResultSize,
+    # whose 1g default is sized for accidental .collect()s, not deliberate
+    # O(edges) adjacency broadcasts (operators/graph.py:_edge_triangles —
+    # ~3 GB serialized at the sf10 rung). Bounded rather than 0/unlimited so
+    # a runaway driver-side collect still fails loudly.
+    "spark.driver.maxResultSize": os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
     # Arrow for pandas_udf / mapInPandas hot paths (operators/).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 100 TB posture: generous broadcast ceiling for dimension tables; AQE will
