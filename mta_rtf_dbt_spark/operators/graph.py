@@ -686,34 +686,76 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_SQL = """
+# Shared oracle prefix for both triangle entries: canonical co-purchase
+# edges -> degrees -> degree-(deg, id)-oriented edge relation, materialized
+# ONCE per sf_dir by the harness's fingerprint-keyed parquet cache (same
+# mechanism as the CC chain). Two reasons it must be a cached prefix, both
+# learned at scale rehearsals:
+#   1. The r9 sf10 oracle (undirected triple-join) was kernel-OOM-killed at
+#      110 GB when DuckDB built a hash table on the ~4B-row wedge stream.
+#      The r9->r10 list_intersect adjacency form fixed the build side but
+#      replaced it with a worse cliff: per-edge list copies drove a 98 GB
+#      RSS / 1-core grind at sf10 (>30 min, unfinished) and >50 GiB of
+#      spill under a 60 GB memory cap. Lists are the wrong representation
+#      for a 119M-edge probe.
+#   2. The plain relational wedge probe (oriented x oriented closed against
+#      the canonical edge set) is fast and memory-bounded (sf3: 208 s,
+#      hash tables only on O(edges) relations) — but ONLY when the
+#      optimizer knows the true cardinalities: as an inline CTE DuckDB
+#      estimates the wedge stream at ~0 rows and de-correlates EXISTS into
+#      a RIGHT_SEMI delim-join that builds ON the wedges (the r9 mode
+#      again). Reading `oriented` from the cached parquet gives the
+#      planner real row counts and it builds on the edge relations.
+_TRI_PREFIX = """
     WITH pairs AS MATERIALIZED (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
              greatest(a.l_partkey, b.l_partkey) AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    -- forward algorithm over min-id-oriented adjacency lists, NOT a
-    -- pairs x pairs x pairs wedge join: the triple-join form leaves the
-    -- build-vs-probe choice on the WEDGE stream to the optimizer's
-    -- misestimate, and at the r9 sf10 rehearsal DuckDB built its hash
-    -- table on ~4B wedge rows — the kernel OOM-killed the oracle at
-    -- 110 GB. Here each triangle x<y<z is counted once at edge (x,y) as
-    -- z in N+(x) n N+(y); the adjacency lists are O(edges) total and the
-    -- intersect streams over the edge scan.
-    adj AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS nb FROM pairs GROUP BY u),
-    tri AS (
-      SELECT COALESCE(SUM(len(list_intersect(au.nb, av.nb))), 0) AS n_triangles
-      FROM pairs e
-      JOIN adj au ON au.u = e.u
-      LEFT JOIN adj av ON av.u = e.v
+    predeg AS (
+      SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1
     ),
-    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN (du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v))
+                  THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v))
+                  THEN p.v ELSE p.u END AS dst
+      FROM pairs p JOIN predeg du ON du.node = p.u JOIN predeg dv ON dv.node = p.v
+    )"""
+
+ORACLE_SHARED_PREFIXES.append((_TRI_PREFIX, "oriented", "src, dst"))
+
+# Forward-algorithm wedge probe: each triangle is found once at its
+# lowest-(deg, id)-rank vertex as a pair of its oriented out-edges whose
+# far endpoints are themselves adjacent; the closing-edge join probes the
+# canonical (u < v) relation re-derived from `oriented` (every undirected
+# edge appears in `oriented` exactly once, so cpairs == pairs row-for-row).
+# Wedges exist only as the probe pipeline — never a join input, never
+# materialized. The engine computes the identical quantity via broadcast
+# adjacency-array intersection; the oracle's wedge probe is the DuckDB-
+# native equivalent (single-machine hash probes beat list allocation).
+_TRIANGLE_SQL = (
+    _TRI_PREFIX
+    + """,
+    cpairs AS MATERIALIZED (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM oriented
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN cpairs p ON p.u = least(e1.dst, e2.dst)
+                   AND p.v = greatest(e1.dst, e2.dst)
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM oriented),
     nn AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
-           FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs))
-    SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_edges, n_nodes
+           FROM (SELECT src AS x FROM oriented UNION ALL SELECT dst FROM oriented))
+    SELECT n_triangles, n_edges, n_nodes
     FROM tri, ne, nn
     """
+)
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
@@ -853,45 +895,39 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(ne).crossJoin(nn)
 
 
-_CLUSTER_COEFF_SQL = """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-             greatest(a.l_partkey, b.l_partkey) AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+# Same cached-prefix wedge probe as _TRIANGLE_SQL; each closed wedge
+# (a, b, c) credits all three vertices via one streaming unnest pass
+# (O(triangles) generated rows). deg is re-derived from `oriented` (one
+# row per undirected edge, so src/dst union == pairs' u/v union).
+_CLUSTER_COEFF_SQL = (
+    _TRI_PREFIX
+    + """,
     deg AS (
       SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
-      FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+      FROM (SELECT src AS x FROM oriented UNION ALL SELECT dst FROM oriented)
       GROUP BY 1
     ),
-    -- forward algorithm over min-id-oriented adjacency lists (r9; same
-    -- rewrite as _TRIANGLE_SQL): the wedge triple-join left the hash
-    -- build side to an optimizer misestimate and the sf10 oracle was
-    -- kernel-OOM-killed at 110 GB. Each triangle x<y<z is found once at
-    -- edge (x,y) as z in N+(x) n N+(y); per-vertex credit = len(zs) to
-    -- both endpoints plus one per z, summed in one pass over the
-    -- materialized per-edge intersections (O(edges + triangles) rows).
-    adj AS MATERIALIZED (SELECT u, list(v ORDER BY v) AS nb FROM pairs GROUP BY u),
-    etri AS MATERIALIZED (
-      SELECT e.u, e.v, list_intersect(au.nb, av.nb) AS zs
-      FROM pairs e
-      JOIN adj au ON au.u = e.u
-      JOIN adj av ON av.u = e.v
-      WHERE len(list_intersect(au.nb, av.nb)) > 0
+    cpairs AS MATERIALIZED (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM oriented
+    ),
+    closed AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.src = e1.src AND e2.dst > e1.dst
+      JOIN cpairs p ON p.u = least(e1.dst, e2.dst)
+                   AND p.v = greatest(e1.dst, e2.dst)
     ),
     per_node AS (
-      SELECT node, CAST(SUM(t) AS BIGINT) AS n_triangles FROM (
-        SELECT u AS node, len(zs) AS t FROM etri
-        UNION ALL SELECT v AS node, len(zs) AS t FROM etri
-        UNION ALL SELECT z AS node, 1 AS t FROM (SELECT unnest(zs) AS z FROM etri)
-      ) GROUP BY 1
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM closed)
+      GROUP BY 1
     )
     SELECT d.node, d.deg,
            COALESCE(p.n_triangles, 0) AS n_triangles,
            CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges
     FROM deg d LEFT JOIN per_node p ON p.node = d.node
     """
+)
 
 
 @q("graph_clustering_coeff", _CLUSTER_COEFF_SQL)
