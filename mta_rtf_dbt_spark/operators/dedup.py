@@ -869,17 +869,23 @@ def _simhash_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     cand AS (SELECT DISTINCT a.gid ga, b.gid gb
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.val = b.val AND a.gid < b.gid),
+    -- the Hamming threshold lives INSIDE the aggregate (HAVING), not in the
+    -- outer WHERE: filters do not push below the lateral UNNESTs, so an
+    -- outer predicate expands EVERY band-colliding group pair first — at
+    -- the sf10 rehearsal (31-word vocab => 264k colliding pairs) that is
+    -- a 2.6B-row intermediate and >100 GB before the filter runs. Same
+    -- filter-before-expansion discipline as the minhash oracle's gver.
     gham AS (SELECT c.ga, c.gb,
                     CAST(SUM(bit_count(xor(ba.val, bb.val))) AS BIGINT) AS hamming
              FROM cand c
              JOIN bands ba ON ba.gid = c.ga
              JOIN bands bb ON bb.gid = c.gb AND bb.band = ba.band
-             GROUP BY 1, 2)
+             GROUP BY 1, 2
+             HAVING CAST(SUM(bit_count(xor(ba.val, bb.val))) AS BIGINT) <= {max_hamming})
     SELECT least(ua.da, ub.db) AS doc_a, greatest(ua.da, ub.db) AS doc_b,
            h.hamming
     FROM gham h JOIN grp a ON a.gid = h.ga JOIN grp b ON b.gid = h.gb,
          UNNEST(a.docs) AS ua(da), UNNEST(b.docs) AS ub(db)
-    WHERE h.hamming <= {max_hamming}
     UNION ALL
     SELECT ua.da AS doc_a, ub.db AS doc_b, CAST(0 AS BIGINT) AS hamming
     FROM grp g JOIN sigw s ON s.gid = g.gid,
