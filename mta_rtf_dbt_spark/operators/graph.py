@@ -810,12 +810,25 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
     row-at-a-time ``array_intersect`` is cheap and skew-proof.
 
     Adjacency broadcast is O(edges) bytes total (every oriented edge
-    appears in exactly one list). When the estimate exceeds
-    ``ADJ_BROADCAST_MAX`` the same plan runs as shuffle joins: byte volume
-    becomes O(sum out_deg^2) <= m^1.5 in the second join's exchange —
-    super-linear again, but spread across a cluster's aggregate shuffle
-    disks rather than one host's /tmp, and bounded per-key by the same
-    sqrt(m) orientation bound. The warning makes the regime change loud.
+    appears in exactly one list), and it is materialized EXACTLY ONCE by
+    construction (r11): the probe side is ``explode(adj)`` — the oriented
+    edge stream recovered from the persisted adjacency itself, pipelined
+    in the same stage as the intersect — so the plan needs ONE broadcast
+    join, not two. (The previous two-join shape hinted the same adjacency
+    twice and relied on exchange reuse; under AQE the stage cache never
+    matched the pair, so sf10 runs paid the aggregate, its shuffle, and
+    the ~3 GB driver-side broadcast collect TWICE — found while pinning
+    the r10 ADVICE reuse assumption.) The per-row ``nb_u`` carried by the
+    explode is O(sum out_deg^2) bytes, but it lives only inside the
+    whole-stage pipeline — it never hits an exchange on the broadcast
+    path.
+
+    When the estimate exceeds ``ADJ_BROADCAST_MAX`` the same plan runs as
+    a shuffle join: the exploded probe's exchange carries those
+    O(sum out_deg^2) <= m^1.5 bytes — super-linear, but spread across a
+    cluster's aggregate shuffle disks rather than one host's /tmp, and
+    bounded per-key by the same sqrt(m) orientation bound. The warning
+    makes the regime change loud.
     """
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -829,24 +842,31 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     lower_first = F.expr("du < dv OR (du = dv AND u < v)")
-    oriented = scoped_persist(
+    oriented = (
         pairs.join(du, "u").join(dv, "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    # The adjacency relation is the ONLY persisted intermediate: both the
+    # probe (explode) and the build (broadcast) read this one cache, so
+    # the groupBy shuffle and the collect_list aggregate run once.
+    adj = scoped_persist(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nb")
         ),
-        "tri.oriented",
+        "tri.adj",
         eager=True,
     )
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nb")
-    )
-    # Size the broadcast from the cheap persisted-edge count: payload is
-    # 8 B/element * E plus per-row overhead (~24 B * V <= 24 B * E).
-    n_edges = oriented.count()
+    # Size the broadcast from the cheap persisted-edge count (pairs is
+    # caller-persisted; |oriented| == |pairs|): payload is 8 B/element * E
+    # plus per-row overhead (~24 B * V <= 24 B * E). The budget sizes ONE
+    # exchange and the plan materializes one by construction — pinned by
+    # tests/test_graph.py::test_graph_triangles_plan_is_broadcast.
+    n_edges = pairs.count()
     est_bytes = n_edges * 32
     if est_bytes <= ADJ_BROADCAST_MAX:
-        au = F.broadcast(adj)
         av = F.broadcast(adj)
     else:
         import warnings
@@ -854,22 +874,23 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
         warnings.warn(
             f"_edge_triangles: adjacency estimate {est_bytes / 1e9:.1f} GB "
             f"exceeds GRAFT_ADJ_BROADCAST_MAX={ADJ_BROADCAST_MAX / 1e9:.1f} GB"
-            " — falling back to shuffle joins (O(sum out_deg^2) exchange "
+            " — falling back to a shuffle join (O(sum out_deg^2) exchange "
             "bytes; fine on cluster aggregate disk, heavy on one host)",
             stacklevel=2,
         )
-        au, av = adj, adj
-    au = au.select(F.col("src").alias("u"), F.col("nb").alias("nb_u"))
+        av = adj
     av = av.select(F.col("src").alias("v"), F.col("nb").alias("nb_v"))
-    # Inner joins: every src has a list by construction; a dst with no
-    # out-edges closes no triangle, so dropping its edges is exact.
-    return (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(au, "u")
-        .join(av, "v")
-        .select(
-            "u", "v", F.array_intersect("nb_u", "nb_v").alias("zs")
-        )
+    # Probe = the adjacency exploded back into oriented edges, carrying
+    # each edge's nb_u down the pipeline for free (no second join, no
+    # second exchange). Inner join: a dst with no out-edges closes no
+    # triangle, so dropping its edges is exact.
+    probe = adj.select(
+        F.col("src").alias("u"),
+        F.explode("nb").alias("v"),
+        F.col("nb").alias("nb_u"),
+    )
+    return probe.join(av, "v").select(
+        "u", "v", F.array_intersect("nb_u", "nb_v").alias("zs")
     )
 
 

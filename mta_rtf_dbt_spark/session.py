@@ -39,6 +39,24 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
+def _derived_max_result(driver_mem: str) -> str:
+    """3/4 of the driver heap, floored to 1g (r10 ADVICE): maxResultSize
+    equal to spark.driver.memory cannot fire — a near-limit collect OOMs
+    the heap before the guard fails loudly. Deriving it keeps the guard
+    meaningful at every SPARK_GRAFT_DRIVER_MEM (8g default -> 6g guard;
+    24g sf10 runs -> 18g)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)([gm])", driver_mem.strip().lower())
+    if not m:
+        return "6g"
+    n, unit = int(m.group(1)), m.group(2)
+    mb = n * 1024 if unit == "g" else n
+    return f"{max(1024, mb * 3 // 4)}m"
+
+
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
 # Build-time confs (need to be set before the JVM context exists).
 BUILD_CONFS: dict[str, str] = {
     # Local mode runs everything in ONE JVM, so spark.driver.memory IS the
@@ -46,13 +64,16 @@ BUILD_CONFS: dict[str, str] = {
     # (measured: JVM crash ~160 entries in — accumulated scoped caches +
     # localCheckpoints). Launch-time only: applies to the first session the
     # process builds, which get_spark controls in tests/bench.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": _DRIVER_MEM,
     # BroadcastExchange collects count against spark.driver.maxResultSize,
     # whose 1g default is sized for accidental .collect()s, not deliberate
     # O(edges) adjacency broadcasts (operators/graph.py:_edge_triangles —
     # ~3 GB serialized at the sf10 rung). Bounded rather than 0/unlimited so
-    # a runaway driver-side collect still fails loudly.
-    "spark.driver.maxResultSize": os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+    # a runaway driver-side collect still fails loudly, and derived BELOW
+    # the heap so the guard can actually fire before the OOM (r10 ADVICE).
+    "spark.driver.maxResultSize": os.environ.get(
+        "SPARK_GRAFT_MAX_RESULT", _derived_max_result(_DRIVER_MEM)
+    ),
     # Arrow for pandas_udf / mapInPandas hot paths (operators/).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 100 TB posture: generous broadcast ceiling for dimension tables; AQE will

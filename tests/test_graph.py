@@ -145,13 +145,41 @@ def test_edge_triangles_fallback_matches_broadcast(spark, monkeypatch):
 
 def test_graph_triangles_plan_is_broadcast(spark):
     """Under the broadcast budget the triangle plan must contain NO
-    sort-merge join — the whole point of the r10 rewrite is that the
-    per-edge intersect pipelines over broadcast adjacency and the only
-    exchanges are the O(edges) degree/groupBy shuffles."""
+    sort-merge join — the per-edge intersect pipelines over broadcast
+    adjacency and the only wide shuffle is the O(edges) adjacency groupBy.
+    Also pins the single-exchange property the broadcast budget relies on
+    (r10 ADVICE, closed in r11 by CONSTRUCTION): the probe side is the
+    adjacency exploded back into edges, so the plan holds exactly ONE
+    adjacency BroadcastExchange — the two-join shape this replaced hinted
+    the adjacency twice and AQE's stage cache never deduplicated the pair,
+    doubling the aggregate, its shuffle, and the ~3 GB sf10 driver-side
+    broadcast collect."""
+    import re
+
+    from conftest import SF_SMOKE
+
     from mta_rtf_dbt_spark.operators.graph import graph_triangles
 
-    df = graph_triangles(spark, "/root/testdata/sf0.001")
+    df = graph_triangles(spark, SF_SMOKE)
+    # run the action FIRST: under AQE the pre-action executedPlan is only
+    # the initial adaptive sketch — assert on the final plan (r10 ADVICE)
+    assert [tuple(r) for r in df.collect()][0][0] >= 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert [tuple(r) for r in df.collect()][0][0] >= 0
+    assert "BroadcastHashJoin" in plan and "array_intersect" in plan
+    assert "explode" in plan  # the probe is explode(adj), not a second join
+    # count DISTINCT adjacency broadcast exchanges: a BroadcastExchange
+    # whose child is the final (non-partial) collect_list aggregate.
+    # Nested adaptive blocks re-print shared stages, so dedupe by plan_id;
+    # the initial-plan sketch contributes at most one extra id — a
+    # reintroduced second adjacency join would show 4 distinct ids.
+    lines = plan.splitlines()
+    adj_ids = set()
+    for i, ln in enumerate(lines):
+        if "collect_list(" in ln and "partial_collect_list" not in ln:
+            for back in range(i - 1, max(0, i - 3), -1):
+                m = re.search(r"BroadcastExchange .*plan_id=(\d+)", lines[back])
+                if m:
+                    adj_ids.add(m.group(1))
+                    break
+    assert len(adj_ids) <= 2, f"adjacency broadcast duplicated ({adj_ids})"

@@ -74,11 +74,31 @@ def _sweep_dead_shuffle_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
     # DuckDB temp storage from a dead oracle process is the same class of
     # debris (r10: 42 GB of duckdb_temp_storage-*.tmp from killed r9 runs
-    # was silently halving the free disk the sf10 rung needs). The oracle
-    # spill dir is conftest-owned and every pytest session is fresh, so
-    # with no live python-owned duckdb these files are garbage too.
+    # was silently halving the free disk the sf10 rung needs). JVM liveness
+    # alone doesn't prove these are dead (r10 ADVICE): a JVM-less DuckDB
+    # process — tools/prewarm_oracle_prefix.py, a judge's probe — may hold
+    # live spill here. Skip any file with an open fd in /proc or a recent
+    # mtime (an actively-spilling file is written continuously).
+    import time as _t
+
+    open_targets: set[str] = set()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            fd_dir = f"/proc/{pid}/fd"
+            for fd in os.listdir(fd_dir):
+                try:
+                    open_targets.add(os.readlink(os.path.join(fd_dir, fd)))
+                except OSError:
+                    pass
+        except OSError:
+            pass  # process vanished or unreadable — fds unknown, mtime guard still applies
+    now = _t.time()
     for f in glob.glob("/tmp/duckdb_oracle_spill/duckdb_temp_storage-*.tmp"):
         try:
+            if os.path.realpath(f) in open_targets or now - os.path.getmtime(f) < 300:
+                continue  # possibly live — leave it
             os.unlink(f)
         except OSError:
             pass
