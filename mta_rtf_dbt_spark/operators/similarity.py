@@ -247,16 +247,20 @@ def _planes_sql(planes: list[list[float]] = PLANES) -> str:
 
 
 def _sigs_sql(
-    planes: list[list[float]], n_bands: int, where: str = "", prefix: str = ""
+    planes: list[list[float]], n_bands: int, where: str = "", prefix: str = "",
+    source: str | None = None,
 ) -> str:
     """The sigs CTE chain, computation-identical to :func:`lsh_signatures`
     (same positional join, same integerized per-product rounding, same
     order-free integer sum). ``where`` restricts the vector source (the
     filtered-ANN variant); ``prefix`` namespaces the CTEs so two chains can
-    coexist in one query."""
+    coexist in one query; ``source`` replaces the vecs body entirely (must
+    yield ``(vec_id, v DOUBLE[])`` — the group-contracted near-dup oracle
+    signs one representative per identical-vector group)."""
     bits = len(planes) // n_bands
     p = prefix
-    return f"""{p}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {where}),
+    vecs_body = source or f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {where}"
+    return f"""{p}vecs AS ({vecs_body}),
 {p}plane_elems AS (
   SELECT plane_id, i AS pos, pv[i] AS pval
   FROM {_planes_sql(planes)}, generate_series(1, {DIM}) AS gs(i)
@@ -366,50 +370,134 @@ def embedding_near_dup_pairs(
     ND banding (8 bits/band): near-dup thresholds are high, so the extra
     selectivity costs little recall and cuts verification pairs ~13x.
 
-    The signature table feeds both sides of the self-join — persist it so the
-    plane dots compute once (at 100 TB you'd materialize signatures anyway;
-    they're the reusable index)."""
+    IDENTICAL-VECTOR GROUP CONTRACTION (r11, same move as the simhash /
+    minhash dedup entries): a crawl-scale embedding corpus is clone-dense,
+    and identical vectors share every band — so the naive signature
+    self-join produces C(k, 2) candidate pairs per k-clone group per band,
+    and the verification join then drags two fat vectors through each.
+    (The sf10 100-clone rehearsal corpus put the un-contracted DuckDB
+    oracle 60 GiB into spill before dying.) Since byte-identical vectors
+    have identical signatures AND identical cosines against everything,
+    it suffices to run banding + verification once per DISTINCT vector
+    (group representative = min id) and expand afterward with thin
+    integer joins: intra-group pairs all carry the group's self-cosine,
+    cross-group pairs the rep pair's cosine. Exactly equivalent to the
+    uncontracted plan, pair for pair — pinned by
+    tests/test_llm_ops.py::test_near_dup_contraction_equivalence.
+
+    The signature table feeds both sides of the self-join — persist it so
+    the plane dots compute once (at 100 TB you'd materialize signatures
+    anyway; they're the reusable index)."""
+    # rep = min id per distinct vector value: one shuffle, grouped by the
+    # vector itself (exact — no hash-collision risk).
+    grouped = scoped_persist(
+        vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("rep", F.min("vid").over(Window.partitionBy("v"))),
+        "near_dup.groups",
+        eager=True,
+    )
+    m = grouped.select("vid", "rep")  # thin member->rep map for expansion
+    reps = grouped.filter(F.col("vid") == F.col("rep")).select("vid", "v")
     sigs = scoped_persist(
-        lsh_signatures(spread(vecs), id_col, vec_col, planes=ND_PLANES, n_bands=ND_N_BANDS),
+        lsh_signatures(spread(reps), "vid", "v", planes=ND_PLANES, n_bands=ND_N_BANDS),
         "near_dup.sigs",
         eager=True,
     )
-    a = sigs.withColumnRenamed("vid", "vec_a")
-    b = sigs.withColumnRenamed("vid", "vec_b")
+    a = sigs.withColumnRenamed("vid", "ra")
+    b = sigs.withColumnRenamed("vid", "rb")
     cands = (
         a.join(b, ["band", "band_sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
-    va = vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("av"))
-    vb = vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("bv"))
+    va = reps.select(F.col("vid").alias("ra"), F.col("v").alias("av"))
+    vb = reps.select(F.col("vid").alias("rb"), F.col("v").alias("bv"))
     sim = F.round(V.cosine(F.col("av"), F.col("bv")), 6)
-    return (
-        cands.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("sim"))
+    rep_pairs = (
+        cands.join(va, "ra")
+        .join(vb, "rb")
+        .select("ra", "rb", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    # Cross-group expansion: every member of ra's group pairs with every
+    # member of rb's group; groups are disjoint so least/greatest yields
+    # each unordered pair exactly once.
+    cross = (
+        rep_pairs.join(m.select(F.col("rep").alias("ra"), F.col("vid").alias("ma")), "ra")
+        .join(m.select(F.col("rep").alias("rb"), F.col("vid").alias("mb")), "rb")
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "sim",
+        )
+    )
+    # Intra-group expansion: all (a < b) member pairs carry the group's
+    # self-cosine — computed via the same rounded formula (≈1.0; kept
+    # symbolic so the value is bit-identical to the uncontracted plan).
+    selfsim = reps.select(
+        F.col("vid").alias("rep"),
+        F.round(V.cosine(F.col("v"), F.col("v")), 6).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    intra = (
+        m.alias("x")
+        .join(m.alias("y"), (F.col("x.rep") == F.col("y.rep")) & (F.col("x.vid") < F.col("y.vid")))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"), F.col("x.rep").alias("rep"))
+        .join(selfsim, "rep")
+        .select("vec_a", "vec_b", "sim")
+    )
+    return cross.unionAll(intra)
 
 
 def _near_dup_sql() -> str:
+    """Group-contracted like the Spark plan (r11): the un-contracted
+    self-join form died 60 GiB into spill on the sf10 100-clone corpus —
+    banding and cosine verification run once per DISTINCT vector, then
+    thin integer joins expand clone groups back into member pairs."""
     cos_ab = (
         "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * "
         "sqrt(list_dot_product(bv, bv)))"
     )
+    cos_self = (
+        "list_dot_product(v, v) / (sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product(v, v)))"
+    )
     return f"""
-WITH {_sigs_sql(ND_PLANES, ND_N_BANDS)},
+WITH members AS MATERIALIZED (
+  SELECT vec_id, MIN(vec_id) OVER (PARTITION BY embedding) AS rep
+  FROM embeddings
+),
+reps AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN members m ON m.vec_id = e.vec_id AND m.vec_id = m.rep
+),
+{_sigs_sql(ND_PLANES, ND_N_BANDS, source="SELECT vec_id, v FROM reps")},
 cands AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  SELECT DISTINCT a.vec_id AS ra, b.vec_id AS rb
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig
   WHERE a.vec_id < b.vec_id
+),
+rep_pairs AS MATERIALIZED (
+  SELECT ra, rb, ROUND({cos_ab}, 6) AS sim
+  FROM cands
+  JOIN (SELECT vec_id, v AS av FROM reps) a ON a.vec_id = ra
+  JOIN (SELECT vec_id, v AS bv FROM reps) b ON b.vec_id = rb
+  WHERE ROUND({cos_ab}, 6) >= {NEAR_DUP_COS}
+),
+selfsim AS MATERIALIZED (
+  SELECT vec_id AS rep, ROUND({cos_self}, 6) AS sim FROM reps
+  WHERE ROUND({cos_self}, 6) >= {NEAR_DUP_COS}
 )
-SELECT vec_a, vec_b, ROUND({cos_ab}, 6) AS sim
-FROM cands
-JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a ON a.vec_id = vec_a
-JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b ON b.vec_id = vec_b
-WHERE ROUND({cos_ab}, 6) >= {NEAR_DUP_COS}
+SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
+       GREATEST(ma.vec_id, mb.vec_id) AS vec_b, p.sim
+FROM rep_pairs p
+JOIN members ma ON ma.rep = p.ra
+JOIN members mb ON mb.rep = p.rb
+UNION ALL
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, s.sim
+FROM members x
+JOIN members y ON y.rep = x.rep AND y.vec_id > x.vec_id
+JOIN selfsim s ON s.rep = x.rep
 """
 
 

@@ -285,6 +285,70 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     assert all(b - a == 100 for a, b in found)  # no false pairs among random vecs
 
 
+def test_near_dup_contraction_equivalence(spark):
+    """The identical-vector group contraction (r11) must emit exactly the
+    pairs the uncontracted plan would: brute-force every (a < b) pair on a
+    clone-dense corpus (exact clone groups of size 1/2/5 plus near-clones),
+    keep those sharing >= 1 ND band whose cosine rounds >= threshold, and
+    require set-equality with the operator — values included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.functions import vectors as V
+    from mta_rtf_dbt_spark.operators.similarity import (
+        ND_N_BANDS,
+        ND_PLANES,
+        embedding_near_dup_pairs,
+        lsh_signatures,
+    )
+
+    rng = random.Random(17)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(12)]
+    rows, nid = [], 0
+    for g, v in enumerate(base):
+        for _ in range((g % 3) * 2 + 1):  # exact-clone groups of 1, 3, 5
+            rows.append((nid, list(v)))
+            nid += 1
+        if g < 4:  # plus a near-clone that is NOT byte-identical
+            rows.append((nid, [x + rng.gauss(0, 0.01) for x in v]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+
+    # Uncontracted reference: candidate = shares >= 1 band (same helper,
+    # full corpus — no grouping), then exact rounded cosine >= threshold.
+    sigs = lsh_signatures(df, planes=ND_PLANES, n_bands=ND_N_BANDS)
+    a = sigs.withColumnRenamed("vid", "vec_a")
+    b = sigs.withColumnRenamed("vid", "vec_b")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("av"))
+    vb = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("bv"))
+    want = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+        .collect()
+    }
+    assert got == want
+    assert any(v == 1.0 for v in got.values())  # clone pairs actually present
+
+
 def test_audio_frame_energy_exact(spark):
     """Frame energies must equal a python recomputation over the same bytes
     (int8 interpretation, 256-sample frames, integer sum of squares)."""
