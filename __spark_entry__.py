@@ -74,66 +74,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # periodic re-verification. The tail is entries green in the most recent
 # window — they yield the window to staler cohorts.
 _PRIORITY = [
-    # ---- r10 rotation (r9 verdict item 3): lead with the SEVEN entries
-    #      whose oracle or engine plan changed after the r9 rotation froze
-    #      (the simhash contraction, the set-group CC chain, and the
-    #      adjacency-intersect triangle rewrite — none has an external row
-    #      for its current form), then the r5-stale cohort (33 entries, 5
-    #      rounds old), topped up to 50 with the r6-cohort heads. ----
-    "dedup_simhash",
-    "dedup_connected_components",
-    "dedup_keep_list",
-    "dedup_keep_best",
-    "dedup_cluster_stats",
+    # ---- r11 rotation (r10 verdict item 4): lead with the THREE entries
+    #      whose plan or oracle changed in r11 (the near-dup identical-vector
+    #      group contraction and the single-exchange triangle probe from the
+    #      r11 graph rewrite — none has an external row for its current
+    #      form), then the full r6-stale cohort (33 entries, five rounds
+    #      old), topped up to 50 with the r7-cohort heads. After this window
+    #      no entry's latest external green is older than r7. ----
+    "embedding_near_dup",
     "graph_triangles",
     "graph_clustering_coeff",
-    # -- r5-stale cohort (latest external green: round 5) --
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "a_array_agg_sorted",
-    "a_salted_skew_agg",
-    "a_histogram_values",
-    "corpus_curation_funnel",
-    "w5_range_interval_frame",
-    "gdpr_erasure_audit",
-    "incremental_agg_retract",
-    "mta_fts_insert_overwrite",
-    "stream_stream_left_join",
-    "mta_fts_incremental",
-    "mta_stream_fts",
-    "q9_product_profit",
-    "q21_sole_returner",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_split",
-    "q16_supplier_diversity",
-    "q20_concentrated_supply",
-    "s_tablesample_hash",
-    "ann_lsh_filtered",
-    "text_bloom_decontaminate",
-    "stream_heavy_hitters",
-    "a_kmv_setops",
-    "a_hdr_quantiles",
-    "a_event_funnel",
-    "a_cohort_retention",
-    "j_temporal_scd2_lookup",
-    "graph_pagerank",
-    "a_skew_report",
-    "mta_dq_checks",
-    "j_full_outer_reconcile",
-    # -- r6-cohort heads topping the window up to 50 --
-    "mix_temperature_sample",
-    "a_mad_outliers",
-    "stream_agg_maintenance",
-    "curriculum_shard_plan",
-    "pack_boundaries",
-    "a_histogram_equidepth",
-    "m1_gapfill_interpolate",
-    "layout_compaction_plan",
-    "m_anomaly_rolling_zscore",
-    "mix_epoch_upsample",
-    # ---- position 50: the driver's check window ends here. The r6
-    #      remainder is the first overflow if the driver checks past 50. ----
+    # -- r6-stale cohort (latest external green: round 6) --
     "multimodal_image_meta",
     "sample_group_kfold",
     "dq_schema_contract",
@@ -167,12 +118,7 @@ _PRIORITY = [
     "a_conversion_wilson",
     "a_benford_digits",
     "m_feed_gap_detection",
-    # -- rows-only entries (weaker count-check either way) --
-    "ann_ivf_cosine",
-    "a_approx_sketches",
-    "text_compression_ratio",
-    # -- remaining cohorts stalest-first: r7, then r8, then (freshest —
-    #    just verified in the r9 window) r9; relative order preserved --
+    # -- r7-cohort heads topping the window up to 50 --
     "q17_small_quantity_revenue",
     "j4_dim_double_alias_star",
     "j5_j7_using_cast_key",
@@ -187,6 +133,12 @@ _PRIORITY = [
     "s7_inline_unnest",
     "f_string_hash_pack",
     "f_datetime_pack",
+    # ---- position 50: the driver's check window ends here. Overflow:
+    #      rows-only entries (weak check either way), the r7 remainder,
+    #      then r8/r9/r10 cohorts stalest-first, relative order kept. ----
+    "ann_ivf_cosine",
+    "a_approx_sketches",
+    "text_compression_ratio",
     "f_gtfs_clock_overflow",
     "j_semi_anti",
     "a_rollup",
@@ -223,7 +175,6 @@ _PRIORITY = [
     "dedup_exact",
     "knn_brute_force_cosine",
     "ann_lsh_cosine",
-    "embedding_near_dup",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "ann_int8_rerank",
@@ -310,6 +261,54 @@ _PRIORITY = [
     "a_cms_portable",
     "a_kmv_portable",
     "rag_chunk_retrieval",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_keep_list",
+    "dedup_keep_best",
+    "dedup_cluster_stats",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "a_array_agg_sorted",
+    "a_salted_skew_agg",
+    "a_histogram_values",
+    "corpus_curation_funnel",
+    "w5_range_interval_frame",
+    "gdpr_erasure_audit",
+    "incremental_agg_retract",
+    "mta_fts_insert_overwrite",
+    "stream_stream_left_join",
+    "mta_fts_incremental",
+    "mta_stream_fts",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_split",
+    "q16_supplier_diversity",
+    "q20_concentrated_supply",
+    "s_tablesample_hash",
+    "ann_lsh_filtered",
+    "text_bloom_decontaminate",
+    "stream_heavy_hitters",
+    "a_kmv_setops",
+    "a_hdr_quantiles",
+    "a_event_funnel",
+    "a_cohort_retention",
+    "j_temporal_scd2_lookup",
+    "graph_pagerank",
+    "a_skew_report",
+    "mta_dq_checks",
+    "j_full_outer_reconcile",
+    "mix_temperature_sample",
+    "a_mad_outliers",
+    "stream_agg_maintenance",
+    "curriculum_shard_plan",
+    "pack_boundaries",
+    "a_histogram_equidepth",
+    "m1_gapfill_interpolate",
+    "layout_compaction_plan",
+    "m_anomaly_rolling_zscore",
+    "mix_epoch_upsample",
 ]
 
 
