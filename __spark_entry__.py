@@ -74,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # periodic re-verification. The tail is entries green in the most recent
 # window — they yield the window to staler cohorts.
 _PRIORITY = [
-    # ---- r11 rotation (r10 verdict item 4): lead with the THREE entries
+    # ---- r11 rotation (r10 verdict item 4): lead with the FOUR entries
     #      whose plan or oracle changed in r11 (the near-dup identical-vector
     #      group contraction and the single-exchange triangle probe from the
     #      r11 graph rewrite — none has an external row for its current
@@ -84,6 +84,7 @@ _PRIORITY = [
     "embedding_near_dup",
     "graph_triangles",
     "graph_clustering_coeff",
+    "dedup_minhash_lsh",
     # -- r6-stale cohort (latest external green: round 6) --
     "multimodal_image_meta",
     "sample_group_kfold",
@@ -132,10 +133,10 @@ _PRIORITY = [
     "set_ops",
     "s7_inline_unnest",
     "f_string_hash_pack",
-    "f_datetime_pack",
     # ---- position 50: the driver's check window ends here. Overflow:
     #      rows-only entries (weak check either way), the r7 remainder,
     #      then r8/r9/r10 cohorts stalest-first, relative order kept. ----
+    "f_datetime_pack",
     "ann_ivf_cosine",
     "a_approx_sketches",
     "text_compression_ratio",
@@ -236,7 +237,6 @@ _PRIORITY = [
     "o_limit_offset_page",
     "text_fingerprint_rolling",
     "multimodal_audio_energy",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "corpus_curation_pipeline",
     "q1_pricing_summary",

@@ -197,8 +197,12 @@ def main() -> None:
     timed(d, "shard_plan", shard_plan(cur["mixed"]).count)
     stage_times["corpus_curation_pipeline"] = d
 
-    mh = minhash_lsh_stages(docs)
+    # the stages() call itself pays the corpus scan + set-group collapse
+    # (eager group persist, r11 contraction) — time it as its own phase
     d = {}
+    t0 = time.monotonic()
+    mh = minhash_lsh_stages(docs)
+    d["build_set_groups"] = round(time.monotonic() - t0, 3)
     timed(d, "shingle_explode", mh["shingles"].count)
     timed(d, "signatures", mh["signatures"].count)
     timed(d, "band_candidates", scoped_persist(mh["candidates"], "bench.mh.cands").count)

@@ -432,61 +432,108 @@ def minhash_lsh_stages(
     docs: DataFrame, threshold: float = 0.2, num_hashes: int = 64, bands: int = 16
 ) -> dict[str, DataFrame]:
     """The MinHash-LSH pipeline with every phase exposed (``shingles``,
-    ``signatures``, ``candidates``, ``verified``) so bench.py can attribute
-    wall time per phase (r3 verdict: the fixed-overhead claim needs
-    per-phase numbers). ``minhash_lsh_dedup`` is the production composition
-    of the same stages."""
-    sh = scoped_persist(shingles(docs, 3), "minhash.shingles")
-    sigs = scoped_persist(
-        minhash_signatures(docs, num_hashes, shingle_rel=sh), "minhash.sigs"
-    )
-    cands = lsh_candidate_pairs(sigs, bands)
+    ``groups``, ``signatures``, ``candidates``, ``verified``) so bench.py
+    can attribute wall time per phase (r3 verdict: the fixed-overhead claim
+    needs per-phase numbers). ``minhash_lsh_dedup`` is the production
+    composition of the same stages.
 
-    def verify(shv: DataFrame, persist_shv: bool = False) -> DataFrame:
-        # shv feeds THREE consumers (per-doc counts + both match-join
-        # sides). In the PRUNED variant shv is the candidate-filtered slice
-        # — persist it so the semi-join runs once, not three times; in the
-        # unpruned variant shv IS the already-persisted corpus relation and
-        # a second persist would be a no-op plus a CacheManager warning.
-        if persist_shv:
-            shv = scoped_persist(shv, "minhash.verify_sh")
-        cnt = shv.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a = shv.alias("sa")
-        b = shv.alias("sb")
-        common = (
-            cands.join(a, F.col("sa.doc_id") == F.col("doc_a"))
-            .join(b, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("common"))
-        )
-        thr_ppm = int(round(threshold * 1_000_000))
-        jac_ppm = F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)")
-        return (
-            common.join(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-            .join(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-            .select("doc_a", "doc_b", jac_ppm.alias("jaccard_ppm"))
-            .filter(F.col("jaccard_ppm") >= thr_ppm)
-        )
+    ENGINE-side set-group contraction (r11), mirroring the r9 oracle:
+    signatures, band hashes, candidacy, and exact Jaccard depend only on a
+    doc's shingle SET, so the whole pipeline runs once per DISTINCT set
+    (gid = min member doc_id) and qualifying set pairs expand back to doc
+    pairs at the end — same-set pairs at exactly 1_000_000 ppm, cross-set
+    pairs at the group pair's ppm. On a clone-dense corpus the collapse is
+    ~clones×. The former doc-level plan survived the sf10 rehearsal by
+    brute width (396M pre-distinct band-join rows) but died at sf30: the
+    band self-join emits C(k,2)·bands rows per k-clone group (3.6B rows at
+    300 clones) and ~20 GB of doc-level cached intermediates saturated the
+    single-host executor heap until a small broadcast build OOMed. At
+    group level the same corpus is a few thousand signatures. The only
+    corpus-wide work left is the shingle scan and one groupBy(doc) →
+    groupBy(set) cascade — both linear, both map-combinable.
 
-    # Pruned variant: semi-filter the shingle relation to candidate docs
-    # before the match join — at 100 TB candidates are a vanishing fraction
-    # of the corpus, so the verify stage shuffles candidate shingles, not
-    # ALL corpus shingles. (The broadcast assumes the candidate-doc list
-    # stays driver-sized; the band curve keeps it so.) The unpruned variant
-    # skips the extra exchange — cheaper when candidates ~ corpus.
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    The group relation (sorted distinct shingle set + member list) feeds
+    five consumers in one job — persist it eagerly or concurrent stages
+    race the cold cache and recompute the corpus scan per branch."""
+    sh = shingles(docs, 3)
+    dl = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("shingle")).alias("sl"))
+    groups = scoped_persist(
+        dl.groupBy("sl")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
+        .select("gid", "docs", "sl", F.size("sl").alias("n")),
+        "minhash.groups",
+        eager=True,
     )
+    gsh = groups.select(F.col("gid").alias("doc_id"), F.explode("sl").alias("shingle"))
+    gsigs = minhash_signatures(docs, num_hashes, shingle_rel=gsh)
+    gcands = lsh_candidate_pairs(gsigs, bands)
+
+    thr_ppm = int(round(threshold * 1_000_000))
+    ga = groups.select(
+        F.col("gid").alias("doc_a"), F.col("sl").alias("sl_a"), F.col("n").alias("na")
+    )
+    gb = groups.select(
+        F.col("gid").alias("doc_b"), F.col("sl").alias("sl_b"), F.col("n").alias("nb")
+    )
+    gver = (
+        gcands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
+            F.size(F.array_intersect("sl_a", "sl_b")).cast("long").alias("common"),
+            "na",
+            "nb",
+        )
+        .select(
+            "ga",
+            "gb",
+            F.expr("CAST(common * 1000000L div (na + nb - common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= thr_ppm)
+    )
+    # Expansion: cross-group pairs via the two member lists (groups are
+    # disjoint, so least/greatest emits each unordered doc pair once);
+    # same-set pairs are Jaccard 1.0 by construction and bypass the band
+    # join entirely — the oracle's trailing UNION ALL, including its
+    # thr > 1.0 guard.
+    da = groups.select(F.col("gid").alias("ga"), F.col("docs").alias("docs_a"))
+    db = groups.select(F.col("gid").alias("gb"), F.col("docs").alias("docs_b"))
+    cross = (
+        gver.join(da, "ga")
+        .join(db, "gb")
+        .select(F.explode("docs_a").alias("da"), "docs_b", "jaccard_ppm")
+        .select("da", F.explode("docs_b").alias("db"), "jaccard_ppm")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard_ppm",
+        )
+    )
+    intra = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("da"), "docs")
+        .select("da", F.explode("docs").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1_000_000).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    if thr_ppm > 1_000_000:
+        intra = intra.filter(F.lit(False))
     return {
         "shingles": sh,
-        "signatures": sigs,
-        "candidates": cands,
-        "verified": verify(
-            sh.join(F.broadcast(cand_docs), "doc_id", "left_semi"), persist_shv=True
-        ),
-        "verified_full": verify(sh),
+        "groups": groups,
+        "signatures": gsigs,
+        "candidates": gcands,
+        "verified": cross.unionAll(intra),
     }
 
 
@@ -495,28 +542,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Candidates via LSH, then exact-Jaccard verification of candidates only
     (the standard verify step — precision 1.0, recall set by the band curve).
-
-    The signature and shingle relations each feed both sides of a self-join;
-    persisting them (eagerly — branches of one job don't reliably share a
-    cold cache) computes the shingle explode + hash agg once instead of four
-    times. At cluster scale this staging is a parquet/checkpoint write.
-
-    Verify-side pruning is chosen from the signature count the staging
-    already takes (both variants return identical rows): above ~200k docs
-    the corpus-wide shingle shuffle dominates the one extra broadcast
-    exchange pruning costs, so prune; a benchmark-sized corpus skips the
-    exchange. A 100 TB corpus always prunes."""
-    stages = minhash_lsh_stages(docs, threshold, num_hashes, bands)
-    stages["shingles"].count()  # materialize the shingle relation ONCE
-    n_sigs = stages["signatures"].count()
-    prune = n_sigs > 200_000
-    if prune:
-        # the pruned variant references candidates twice (verify join +
-        # candidate-doc broadcast): persist and fill the cache before the
-        # broadcast's eager evaluation races it. The unpruned path reads
-        # candidates exactly once — a persist there is pure overhead.
-        scoped_persist(stages["candidates"], "minhash.cands").count()
-    return stages["verified" if prune else "verified_full"]
+    Set-group-contracted end to end since r11 (see ``minhash_lsh_stages``):
+    banding and verification run per distinct shingle set, clone groups
+    expand back to doc pairs afterward. At cluster scale the group relation
+    is the one staged intermediate (a parquet/checkpoint write)."""
+    return minhash_lsh_stages(docs, threshold, num_hashes, bands)["verified"]
 
 
 def _minhash_lsh_sql(

@@ -285,6 +285,68 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     assert all(b - a == 100 for a, b in found)  # no false pairs among random vecs
 
 
+def test_minhash_contraction_equivalence(spark, docs):
+    """The set-group contraction (r11 engine-side) must emit exactly the
+    pairs the doc-level plan would, on a CLONE-DENSE corpus: reference =
+    doc-level banding via the same helpers (identical shingle sets give
+    identical signatures, so doc-level candidacy == expanded group
+    candidacy), exact Jaccard per candidate, same ppm math — set-equality
+    with the operator, values included. Clone pairs must surface at
+    exactly 1_000_000 ppm."""
+    from pyspark.sql import functions as F
+
+    from mta_rtf_dbt_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        shingles,
+    )
+
+    # clone-dense corpus: 3 copies of each of 30 base docs (ids disjoint)
+    base = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    clones = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text").unionAll(
+        base.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    )
+    corpus = base.unionAll(clones)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in minhash_lsh_dedup(corpus, 0.2).collect()
+    }
+
+    # Doc-level reference: same signature/banding helpers, no grouping.
+    sh = shingles(corpus, 3).persist()
+    sigs = minhash_signatures(corpus, shingle_rel=sh)
+    cands = lsh_candidate_pairs(sigs)
+    sl = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("shingle")).alias("sl"))
+    want = {}
+    for r in (
+        cands.join(sl.select(F.col("doc_id").alias("doc_a"), F.col("sl").alias("sa")), "doc_a")
+        .join(sl.select(F.col("doc_id").alias("doc_b"), F.col("sl").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("common"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(common * 1000000L div (na + nb - common) AS BIGINT) AS ppm",
+        )
+        .filter(F.col("ppm") >= 200_000)
+        .collect()
+    ):
+        want[(r.doc_a, r.doc_b)] = r.ppm
+    sh.unpersist()
+    assert got == want
+    # every clone pair of every base doc that shingled is present at 1.0
+    shingled = {r.doc_id for r in sl.filter(F.col("doc_id") < 30).collect()}
+    for i in sorted(shingled):
+        for pair in [(i, i + 1000), (i, i + 2000), (i + 1000, i + 2000)]:
+            assert got.get(pair) == 1_000_000, pair
+
+
 def test_near_dup_contraction_equivalence(spark):
     """The identical-vector group contraction (r11) must emit exactly the
     pairs the uncontracted plan would: brute-force every (a < b) pair on a
