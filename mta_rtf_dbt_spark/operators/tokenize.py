@@ -242,7 +242,12 @@ def bpe_train_state(
     tokenizer's application state. Splitting this out lets the encode side
     reuse the segmentation with a broadcast join instead of re-running the
     merges per document occurrence."""
-    wc = bpe_word_counts(docs).localCheckpoint()
+    # Lineage-cut checkpoints are LAZY (r11): each round has exactly one
+    # irreducible driver action — the top-1 pair pick — and a lazy
+    # checkpoint materializes under it, so a round costs ONE job instead
+    # of an eager checkpoint job plus the top-1 job. Same cuts, same
+    # caches, same merges; half the per-round scheduling barriers.
+    wc = bpe_word_counts(docs).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -256,7 +261,7 @@ def bpe_train_state(
             break
         merges.append((rank, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
         wc = wc.withColumn("syms", _apply_merge(F.col("syms"), top["a"], top["b"]))
-        wc = wc.localCheckpoint()
+        wc = wc.localCheckpoint(eager=False)
     return merges, wc
 
 
