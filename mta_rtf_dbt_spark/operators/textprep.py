@@ -102,30 +102,7 @@ def contamination_pairs(
         allsh = test_sh.withColumn("__side", F.lit("t")).unionAll(
             train_sh.withColumn("__side", F.lit("r"))
         )
-        g = allsh.groupBy("shingle").agg(
-            F.collect_list(F.when(F.col("__side") == "t", F.col("doc_id"))).alias(
-                "t_docs"
-            ),
-            F.collect_list(F.when(F.col("__side") == "r", F.col("doc_id"))).alias(
-                "r_docs"
-            ),
-        ).filter(F.size("t_docs") + F.size("r_docs") < max_posting)
-        # both consumers below read the same grouped exchange — Spark's
-        # ReusedExchange dedupes the wide shuffle inside one action
-        test_cnt = (
-            g.select(F.explode("t_docs").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_test"))
-        )
-        common = (
-            g.filter((F.size("t_docs") > 0) & (F.size("r_docs") > 0))
-            .select(
-                F.explode("t_docs").alias("test_doc"), F.col("r_docs")
-            )
-            .select("test_doc", F.explode("r_docs").alias("train_doc"))
-            .groupBy("test_doc", "train_doc")
-            .agg(F.count("*").alias("n_common"))
-        )
+        return _contamination_grouped(allsh, threshold, max_posting)
     else:
         test_cnt = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_test"))
         common = (
@@ -137,6 +114,49 @@ def contamination_pairs(
             )
             .agg(F.count("*").alias("n_common"))
         )
+    return _contamination_finish(common, test_cnt, threshold)
+
+
+def _contamination_grouped(
+    allsh: DataFrame, threshold: float, max_posting: int
+) -> DataFrame:
+    """The grouped-postings containment body over a side-TAGGED shingle
+    relation (``doc_id, shingle, __side`` with 't'/'r'). Callers whose two
+    sides partition ONE shingle relation by a doc_id predicate (the
+    decontaminate entry) tag in a single narrow pass instead of a
+    two-filter unionAll — one scan of the shingle pipeline, no persist,
+    and the df cap (len(t)+len(r) < max_posting) equals the full-relation
+    df cap exactly because the sides partition it."""
+    g = allsh.groupBy("shingle").agg(
+        F.collect_list(F.when(F.col("__side") == "t", F.col("doc_id"))).alias(
+            "t_docs"
+        ),
+        F.collect_list(F.when(F.col("__side") == "r", F.col("doc_id"))).alias(
+            "r_docs"
+        ),
+    ).filter(F.size("t_docs") + F.size("r_docs") < max_posting)
+    # both consumers below read the same grouped exchange — Spark's
+    # ReusedExchange dedupes the wide shuffle inside one action
+    test_cnt = (
+        g.select(F.explode("t_docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_test"))
+    )
+    common = (
+        g.filter((F.size("t_docs") > 0) & (F.size("r_docs") > 0))
+        .select(
+            F.explode("t_docs").alias("test_doc"), F.col("r_docs")
+        )
+        .select("test_doc", F.explode("r_docs").alias("train_doc"))
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _contamination_finish(common, test_cnt, threshold)
+
+
+def _contamination_finish(
+    common: DataFrame, test_cnt: DataFrame, threshold: float
+) -> DataFrame:
     return (
         common.join(
             F.broadcast(
@@ -176,25 +196,24 @@ def contamination_pairs(
 def text_decontaminate(spark, sf_dir):
     """Eval-leakage check over documents: held-out set = doc_id % 10 == 0,
     flag test docs whose distinct 3-gram shingles are >= 50% contained in
-    any training doc. The hot-shingle cap is applied ONCE on the full
-    shingle relation (map-combined df groupBy + broadcast anti-join on the
-    tiny hot list, as in jaccard_pairs) before the test/train split —
-    capping inside contamination_pairs would rebuild the shingle relation
-    per side."""
+    any training doc.
+
+    Shape (r11): ONE narrow pass tags each shingle row with its side
+    (doc_id mod decides it) and the grouped-postings body does the rest —
+    the per-shingle group carries both sides' doc lists, the df < 1000
+    hot-shingle cap is the group-size filter (the sides PARTITION the
+    corpus, so len(t)+len(r) is exactly the full-relation df the previous
+    pre-cap computed), and pair counts explode t x r map-side into the
+    combined aggregate. The former shape persisted the shingle relation,
+    ran a separate df aggregate plus a broadcast anti-join, and then
+    sort-merge-joined the two capped sides (two wide sorts); all of that
+    collapses into the single grouped exchange. Same rows out — the
+    entry's oracle is unchanged and still green."""
     sh = shingles(load(spark, sf_dir, "documents"), 3)
-    # sh feeds the hot-list agg + three downstream subtrees (test count and
-    # both join sides): persist so the shingle explode runs once
-    sh = scoped_persist(sh, "decon.sh", eager=True)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= 1000)
-        .select("shingle")
+    tagged = sh.withColumn(
+        "__side", F.when(F.col("doc_id") % 10 == 0, F.lit("t")).otherwise(F.lit("r"))
     )
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    test_sh = capped.filter(F.col("doc_id") % 10 == 0)
-    train_sh = capped.filter(F.col("doc_id") % 10 != 0)
-    return contamination_pairs(test_sh, train_sh, 0.5, max_posting=None)
+    return _contamination_grouped(tagged, 0.5, 1000)
 
 
 # ---------------------------------------------------------------------------
