@@ -110,7 +110,7 @@ POLY_MOD = 2_147_483_647
 def poly_hash_expr(sub: str) -> str:
     """SQL-string twin of :func:`poly_hash` over the SQL expression ``sub``.
 
-    Parses to the identical expression tree (same sequence/transform/
+    Parses to the identical expression tree (same split/transform/
     aggregate, same constants), so plans and results are byte-equal to the
     Column form — the string form exists because building wide signature
     projections from Python Column operators costs one Py4J round trip per
@@ -120,19 +120,26 @@ def poly_hash_expr(sub: str) -> str:
     trip. Use it inside selectExpr/F.expr for wide families; keep the Column
     form for single-column call sites where readability wins."""
     return (
-        f"aggregate(transform(sequence(1, length({sub})), "
-        f"i -> cast(ascii(substring({sub}, i, 1)) as long)), "
+        f"aggregate(transform(split({sub}, ''), c -> cast(ascii(c) as long)), "
         f"0L, (acc, x) -> (acc * {POLY_BASE}L + x) % {POLY_MOD}L)"
     )
 
 
 def poly_hash(c: Column) -> Column:
     """Char-polynomial hash of a string column mod 2^31-1 — pure Column ops
-    (sequence/transform/aggregate all stay inside codegen; no UDF)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(F.substr(c, i, F.lit(1))).cast("long"),
-    )
+    (split/transform/aggregate, no UDF).
+
+    The char stream comes from ``split(s, '')`` (r11) rather than the old
+    ``transform(sequence(1, length(s)), i -> substring(s, i, 1))``: each
+    SQL ``substring`` re-scans the string's UTF-8 bytes to locate char i,
+    making the old form O(len^2) per string; split materializes the char
+    array in one linear pass. Per-char values are unchanged (``ascii`` of
+    the same one-char strings; empty input still hashes to 0 — split('')
+    yields [''] and ascii('') is 0, matching the empty-sequence fold), so
+    every signature downstream is bit-identical — asserted against the
+    DuckDB oracles, which replay the recurrence from their own char
+    streams."""
+    chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

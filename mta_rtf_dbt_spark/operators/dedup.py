@@ -457,34 +457,41 @@ def minhash_lsh_stages(
     race the cold cache and recompute the corpus scan per branch."""
     sh = shingles(docs, 3)
     dl = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("shingle")).alias("sl"))
+    # Signatures ride INSIDE the persisted group projection (r11): each
+    # group already carries its sorted distinct shingle set ``sl``, so hash
+    # it to a long array with one ``transform`` and take the num_hashes
+    # mins as array expressions — the shuffle-free shape
+    # minhash_signatures uses for raw docs — computed ONCE when the cache
+    # materializes. The former explode(sl) -> groupBy(gid) aggregate
+    # re-exchanged the whole group-shingle relation just to recompute the
+    # per-group min of values already sitting in one row; and computing
+    # the array form OUTSIDE the cache would re-run the 64-min family once
+    # per side of the band self-join (no exchange left to reuse). The min
+    # over the identical hash set is value-identical, so signatures (and
+    # everything banded from them) are unchanged bit for bit.
+    seeds = _minhash_seeds(num_hashes)
+    mins = ", ".join(
+        f"array_min(transform(hb, h -> (h * {a}L + {b}L) % {MINHASH_P}L))"
+        for (a, b) in seeds
+    )
     groups = scoped_persist(
         dl.groupBy("sl")
         .agg(
             F.min("doc_id").alias("gid"),
             F.sort_array(F.collect_list("doc_id")).alias("docs"),
         )
-        .select("gid", "docs", "sl", F.size("sl").alias("n")),
+        .select(
+            "gid",
+            "docs",
+            "sl",
+            F.size("sl").alias("n"),
+            F.transform(F.col("sl"), _poly_hash_col).alias("hb"),
+        )
+        .selectExpr("gid", "docs", "sl", "n", f"array({mins}) AS minhash"),
         "minhash.groups",
         eager=True,
     )
-    # Signatures straight off the persisted group rows (r11): each group
-    # already carries its sorted distinct shingle set ``sl``, so hash it to
-    # a long array with one ``transform`` and take the num_hashes mins as
-    # array expressions — the shuffle-free shape minhash_signatures uses
-    # for raw docs. The former explode(sl) -> groupBy(gid) aggregate
-    # re-exchanged the whole group-shingle relation just to recompute the
-    # per-group min of values already sitting in one row; the min over the
-    # identical hash set is value-identical, so signatures (and everything
-    # banded from them) are unchanged bit for bit.
-    seeds = _minhash_seeds(num_hashes)
-    mins = ", ".join(
-        f"array_min(transform(hb, h -> (h * {a}L + {b}L) % {MINHASH_P}L))"
-        for (a, b) in seeds
-    )
-    gsigs = groups.select(
-        F.col("gid").alias("doc_id"),
-        F.transform(F.col("sl"), _poly_hash_col).alias("hb"),
-    ).selectExpr("doc_id", f"array({mins}) AS minhash")
+    gsigs = groups.select(F.col("gid").alias("doc_id"), "minhash")
     gcands = lsh_candidate_pairs(gsigs, bands)
 
     thr_ppm = int(round(threshold * 1_000_000))

@@ -336,10 +336,15 @@ def stream_neardup_ingest(
                 drops = in_batch.unionAll(hits).distinct()
             else:
                 drops = in_batch
-            # eager: drops (a tiny id set) feeds the corpus anti-join AND
-            # the band anti-join — cache it so the screening joins run once
+            # drops (a tiny id set) feeds the corpus anti-join AND the band
+            # anti-join — cache it so the screening joins run once. LAZY on
+            # purpose (r11): the surviving_bands count below is the next
+            # action and reaches drops through exactly one subtree (the
+            # band anti-join), so it materializes the cache with no
+            # concurrent-recompute risk and the former eager count was a
+            # whole extra per-batch job; the corpus write then reads the
+            # populated cache.
             drops = drops.persist()
-            drops.count()
             try:
                 survivors = batch_df.join(
                     drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
