@@ -83,12 +83,26 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc. Docs with < n tokens are
-    dropped (mirrors the oracle's len(arr) >= n guard)."""
+    dropped (mirrors the oracle's len(arr) >= n guard).
+
+    Tokenizes ONCE into a rider column (r11): the length guard and the
+    n-gram build previously each evaluated normalize+split — common
+    subexpression elimination works within one projection, not across a
+    Filter and the Project above it, so every doc paid the regex
+    whitespace collapse and tokenization twice. Shingle strings are
+    unchanged (``array_join(slice(toks, i, n))`` over the same token
+    array — the pipeline module's _shingles_from_tokens identity)."""
     docs = spread(docs)  # shingling is CPU-bound; don't let a one-row-group scan serialize it
-    toks = T.tokens(T.normalize(F.col(text_col)))
-    return docs.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(T.word_ngrams(F.col(text_col), n))).alias("shingle"),
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            T.tokens(T.normalize(F.col(text_col))).alias("__toks"),
+        )
+        .filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -362,13 +376,25 @@ def minhash_signatures(
     seeds = _minhash_seeds(num_hashes)
     if shingle_rel is None:
         d = spread(docs)  # signature is CPU-bound; don't serialize on one row group
-        toks = T.tokens(T.normalize(F.col(text_col)))
-        base = d.filter(F.size(toks) >= shingle_n).select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(
-                F.array_distinct(T.word_ngrams(F.col(text_col), shingle_n)),
-                _poly_hash_col,
-            ).alias("hb"),
+        # tokenize once into a rider column (r11) — the guard and the
+        # n-gram build otherwise each pay normalize+split (see shingles())
+        toks = F.col("__toks")
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1))
+        )
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, shingle_n), " ")
+        )
+        base = (
+            d.select(
+                F.col(id_col).alias("doc_id"),
+                T.tokens(T.normalize(F.col(text_col))).alias("__toks"),
+            )
+            .filter(F.size(toks) >= shingle_n)
+            .select(
+                "doc_id",
+                F.transform(F.array_distinct(grams), _poly_hash_col).alias("hb"),
+            )
         )
         mins = ", ".join(
             f"array_min(transform(hb, h -> (h * {a}L + {b}L) % {MINHASH_P}L))"

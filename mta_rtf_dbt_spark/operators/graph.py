@@ -79,9 +79,18 @@ def connected_components(
     """
     if algorithm == "star":
         return connected_components_star(edges, src, dst, max_iter)
+    # one explode pass over the caller's edge pipeline (see the star
+    # variant below — the two-orientation union read it twice)
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -171,21 +180,30 @@ def connected_components_star(
     At the fixpoint every non-root node holds exactly one edge to its
     component's min id; labels read off the edges with no further pass.
     """
-    # the undirected closure reads `edges` twice (both orientations); for
-    # callers whose edge relation is itself an expensive pipeline (the
-    # jaccard posting join), persist it so that pipeline runs once
-    from mta_rtf_dbt_spark.sources.registry import scoped_persist
-
-    edges = scoped_persist(edges, "cc.edges", eager=True)
     # Lineage-cut checkpoints are LAZY (r11): each round's single driver
     # action (the stats aggregate below) materializes the round's edge set
     # as a side effect, so a round costs ONE job instead of an eager
     # checkpoint job plus the stats job — same cuts, same caches, half the
     # per-round scheduling barriers. ``nodes`` is read only by the final
     # labeling and materializes under that action through und0's cache.
+    #
+    # The undirected closure is ONE explode pass (r11) — the former
+    # two-orientation union read `edges` through two subtrees, which
+    # forced an eager scoped_persist of the caller's whole edge pipeline
+    # (the jaccard posting join) just to stop the second subtree
+    # re-running it; with a single pass the pipeline executes exactly once
+    # under und0's checkpoint and the extra cache + its materialization
+    # job are gone.
     und0 = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
