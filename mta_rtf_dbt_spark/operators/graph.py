@@ -435,13 +435,19 @@ def doc_jaccard_components(
 
     groups, gq = jaccard_group_graph(shingles(docs, 3), threshold, max_posting)
     comp_g = connected_components(gq.select("ga", "gb"), "ga", "gb")
-    return (
+    # comp is a tiny (node, component) labeling (cluster members only) that
+    # every caller fans out into 2+ subtrees (labeled -> reps + final join);
+    # a lazy persist dedupes the whole groups-join-expansion subtree across
+    # them at zero extra jobs (r11 — the keep_best after-plan had grown the
+    # un-persisted expansion twice).
+    return scoped_persist(
         groups.join(comp_g.withColumnRenamed("node", "gid"), "gid", "left")
         .filter(F.col("component").isNotNull() | (F.size("docs") >= 2))
         .select(
             F.explode("docs").alias("node"),
             F.coalesce("component", "gid").alias("component"),
-        )
+        ),
+        "jgg.comp",
     )
 
 
@@ -967,13 +973,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.size("zs")), F.lit(0)).cast("long").alias("n_triangles")
     )
     ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    # n_nodes = row count of the SAME degree aggregate _edge_triangles
-    # builds (one row per distinct endpoint), expressed over the identical
-    # subtree so ReusedExchange serves it from the orientation pass's
-    # shuffle instead of re-scanning pairs for a countDistinct (r11: the
-    # former form paid one full extra pass + two exchanges over the edge
-    # relation for a single scalar).
-    nn = _degrees(pairs).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # n_nodes stays a countDistinct over the cached pairs: expressing it as
+    # _degrees(pairs).agg(count) to share the orientation pass's degree
+    # exchange was tried in r11 and measured +1.2 s — the hoped-for
+    # ReusedExchange does not fire across the branches, so the "shared"
+    # subtree re-ran the full degree aggregate, while countDistinct's
+    # partial dedup is map-combined before its one exchange.
+    nn = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+    )
     return tri.crossJoin(ne).crossJoin(nn)
 
 

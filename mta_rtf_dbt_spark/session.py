@@ -38,6 +38,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # test_plan_hygiene sweep (r5); same policy as the pandas_udf paths.
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
+# spark.sql.join.preferSortMergeJoin=false was benchmarked in r11 (whole
+# suite, same host): 58.8 s vs 48.3-52.6 s for the SMJ-preferring default
+# on adjacent runs — the per-partition hash-table builds lost to sort-merge
+# at this row scale, so the default stays. See OPTIMIZATION_r11.md.
 
 def _derived_max_result(driver_mem: str) -> str:
     """3/4 of the driver heap, floored to 1g (r10 ADVICE): maxResultSize
