@@ -131,8 +131,12 @@ def jaccard_group_graph(
     unchanged. The DuckDB oracles perform the identical collapse.
     """
     # the shingle relation feeds the hot-list agg and the per-doc set build:
-    # persist so the explode runs once
-    sh = scoped_persist(sh, "jaccard.sh", eager=True)
+    # persist so the explode runs once. LAZY (r11): the set build's anti-join
+    # DEPENDS on the hot broadcast, so AQE materializes the hot stage first —
+    # that stage populates this cache and the set build reads it; the stages
+    # are strictly ordered, so there is no concurrent-recompute race and the
+    # former eager count was one whole extra materialization pass.
+    sh = scoped_persist(sh, "jaccard.sh")
     if max_posting is not None:
         hot = (
             sh.groupBy("shingle")
@@ -850,8 +854,12 @@ def simhash_group_pairs(
         F.sort_array(F.collect_list(id_col)).alias("docs"),
     )
     # feeds the signature build, both expansion branches, and the size
-    # filter — one eager persist kills in-flight recompute of the scan
-    groups = scoped_persist(groups, "simhash.groups", eager=True)
+    # filter. LAZY (r11): simhash_pairs eagerly materializes the signature
+    # cache right below, and its count reaches this relation through that
+    # single subtree — populating this cache in the same job; the later
+    # expansion branches then read it. One materialization job saved per
+    # call with no concurrent-recompute window.
+    groups = scoped_persist(groups, "simhash.groups")
     sigs = simhash_bands(
         groups.select(F.col("gid").alias("doc_id"), F.col("__norm").alias("text"))
     )
