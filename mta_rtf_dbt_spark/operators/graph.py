@@ -216,26 +216,33 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev_count = cur.count()
+    cur.count()  # materialize: the round below reads cur via two subtrees
     for _ in range(max_iter):
         und = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
         nxt = _small_star(_large_star(und), oriented=True).localCheckpoint(eager=False)
-        # one action per round: size + exact set-membership vs the previous
-        # edge set in a single left-join aggregate (both sets are distinct,
-        # so equal size + zero novel edges == fixpoint)
+        # one action per round: converged iff nxt is a STAR FOREST — no v
+        # ever appears as a u (r11). A u>v star forest is a fixpoint of
+        # both star operations (large-star links every leaf to the root it
+        # already points at; small-star re-emits the same star), so this
+        # detects convergence ONE ROUND EARLIER than the previous
+        # edge-set-equality test, which needed a full identity round to
+        # confirm — the final edge set, and therefore the labeling, is
+        # identical (a star forest never changes again). The check rides
+        # the same single aggregate job that materializes the round's
+        # checkpoint.
+        chained_probe = nxt.select(F.col("u").alias("v")).distinct()
         stats = (
-            nxt.join(cur.withColumn("__seen", F.lit(1)), ["u", "v"], "left")
+            nxt.join(chained_probe.withColumn("__chained", F.lit(1)), "v", "left")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("novel"),
+                F.sum(F.coalesce(F.col("__chained"), F.lit(0))).alias("chained"),
             )
             .first()
         )
-        converged = stats.n == prev_count and (stats.novel or 0) == 0
-        cur, prev_count = nxt, stats.n
-        if converged:
+        cur = nxt
+        if (stats.chained or 0) == 0:
             break
     mapping = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
     return nodes.join(mapping, "node", "left").select(

@@ -65,6 +65,32 @@ def test_cc_star_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cc_star_forest_converges_in_one_round(spark, monkeypatch):
+    """The r11 star-forest convergence criterion: input that is already a
+    star forest (every edge points straight at its component's min) must be
+    detected at the FIRST round — the previous edge-set-equality test needed
+    a second identity round to confirm. Counting _large_star invocations
+    pins the round count; the labeling must be unchanged."""
+    from mta_rtf_dbt_spark.operators import graph as G
+
+    calls = {"n": 0}
+    orig = G._large_star
+
+    def counting(und):
+        calls["n"] += 1
+        return orig(und)
+
+    monkeypatch.setattr(G, "_large_star", counting)
+    # two stars: root 0 with leaves 1..4, root 10 with leaves 11..12
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(10, 11), (10, 12)],
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in G.connected_components_star(edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10}
+    assert calls["n"] == 1, f"star forest should converge in one round, ran {calls['n']}"
+
+
 def _pagerank_reference(edges, n_iter=3, scale=10**12):
     """Pure-Python replay of the integer PageRank recurrence."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
