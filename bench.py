@@ -217,7 +217,9 @@ def main() -> None:
         emb, emb.filter(F.col("vec_id") < 5), k=5,
         queries_in_corpus=True, stages_out=ann_stages,
     )
-    # the corpus signature table materializes eagerly inside the build
+    # r11: the corpus signature cache is lazy (materializes under the
+    # band-candidates action), so this phase is plan-build time and the
+    # signature compute books under band_candidates below
     d["signatures"] = round(time.monotonic() - t0, 3)
     timed(d, "band_candidates", scoped_persist(ann_stages["candidates"], "bench.ann.cands").count)
     timed(d, "exact_rerank_topk", topk.count)
