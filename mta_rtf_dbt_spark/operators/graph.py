@@ -521,10 +521,14 @@ def pagerank(
     stays in-plan as a broadcast 1-row aggregate (no per-round driver
     collect); the only driver scalar is N, computed once. Lineage is cut
     per round (localCheckpoint), the standard iteration discipline."""
+    # LAZY persist (r11): the nd checkpoint right below executes e's
+    # pipeline once (populating this cache), and every later consumer —
+    # one contrib join per round — reads e exactly once per job, so there
+    # is no concurrent-recompute window; the former eager count was a
+    # whole extra materialization pass over the join+distinct.
     e = scoped_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
         "pr.edges",
-        eager=True,
     )
     # One pass computes the node universe AND out-degrees together (r6 —
     # formerly a union-distinct plus a separate count agg, two shuffles):
@@ -921,16 +925,6 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    # The adjacency relation is the ONLY persisted intermediate: both the
-    # probe (explode) and the build (broadcast) read this one cache, so
-    # the groupBy shuffle and the collect_list aggregate run once.
-    adj = scoped_persist(
-        oriented.groupBy("src").agg(
-            F.sort_array(F.collect_list("dst")).alias("nb")
-        ),
-        "tri.adj",
-        eager=True,
-    )
     # Size the broadcast from the cheap persisted-edge count (pairs is
     # caller-persisted; |oriented| == |pairs|): payload is 8 B/element * E
     # plus per-row overhead (~24 B * V <= 24 B * E). The budget sizes ONE
@@ -938,6 +932,22 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
     # tests/test_graph.py::test_graph_triangles_plan_is_broadcast.
     n_edges = pairs.count()
     est_bytes = n_edges * 32
+    # The adjacency relation is the ONLY persisted intermediate: both the
+    # probe (explode) and the build (broadcast) read this one cache, so
+    # the groupBy shuffle and the collect_list aggregate run once. On the
+    # broadcast path the persist is LAZY (r11): the probe stage DEPENDS on
+    # the adjacency broadcast, so AQE materializes the broadcast stage
+    # first — populating the cache for the probe with no race — and the
+    # former eager count was one whole extra materialization pass. The
+    # shuffle-join fallback keeps the eager count: there both join sides
+    # read the cache through genuinely concurrent stages.
+    adj = scoped_persist(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nb")
+        ),
+        "tri.adj",
+        eager=est_bytes > ADJ_BROADCAST_MAX,
+    )
     if est_bytes <= ADJ_BROADCAST_MAX:
         av = F.broadcast(adj)
     else:
