@@ -138,7 +138,12 @@ def poly_hash(c: Column) -> Column:
     yields [''] and ascii('') is 0, matching the empty-sequence fold), so
     every signature downstream is bit-identical — asserted against the
     DuckDB oracles, which replay the recurrence from their own char
-    streams."""
+    streams.
+
+    Requires Spark >= 3.4 (r12, ADVICE): SPARK-40194 made ``split(s, '')``
+    drop its trailing empty element; on older runtimes the extra '' char
+    multiplies every hash by POLY_BASE once. Verified identical on the
+    pinned PySpark 4.1.2."""
     chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
     return F.aggregate(
         chars,

@@ -230,14 +230,19 @@ def connected_components_star(
             cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
         nxt = _small_star(_large_star(und), oriented=True).localCheckpoint(eager=False)
-        # one action per round: converged iff nxt is a STAR FOREST — no v
-        # ever appears as a u (r11). A u>v star forest is a fixpoint of
-        # both star operations (large-star links every leaf to the root it
-        # already points at; small-star re-emits the same star), so this
-        # detects convergence ONE ROUND EARLIER than the previous
-        # edge-set-equality test, which needed a full identity round to
-        # confirm — the final edge set, and therefore the labeling, is
-        # identical (a star forest never changes again). The check rides
+        # one action per round: converged iff nxt is a FUNCTIONAL star
+        # forest — no v ever appears as a u (chained == 0) AND every u has
+        # exactly one parent (n == countDistinct(u); nxt rows are distinct,
+        # so a duplicated u means two different parents). Both conditions
+        # are required (r12, ADVICE high): chained == 0 alone accepts
+        # multi-parent states — e.g. path edges (10,5),(20,5),(10,6),(6,1),
+        # (20,7),(7,2) give node 5 parents 1 and 2 in round 1 with no
+        # chained v, and breaking there splits one component in two. A
+        # functional u>v star forest IS a fixpoint of both star operations
+        # (large-star links every leaf to the root it already points at;
+        # small-star re-emits the same star), so the combined test still
+        # detects convergence ONE ROUND EARLIER than the r10 edge-set-
+        # equality test, with none of its false positives. The check rides
         # the same single aggregate job that materializes the round's
         # checkpoint.
         chained_probe = nxt.select(F.col("u").alias("v")).distinct()
@@ -245,12 +250,13 @@ def connected_components_star(
             nxt.join(chained_probe.withColumn("__chained", F.lit(1)), "v", "left")
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                F.countDistinct("u").alias("nu"),
                 F.sum(F.coalesce(F.col("__chained"), F.lit(0))).alias("chained"),
             )
             .first()
         )
         cur = nxt
-        if (stats.chained or 0) == 0:
+        if (stats.chained or 0) == 0 and stats.n == stats.nu:
             break
     mapping = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
     return nodes.join(mapping, "node", "left").select(

@@ -148,7 +148,15 @@ def lsh_signatures(
     the signature build's only wide stage. Per-product integerization
     (round-then-long at 1e9) and the order-free integer sums are
     unchanged term for term, so signatures are bit-identical to the SQL
-    oracle's formulation."""
+    oracle's formulation.
+
+    Fixed-dim assumption (r12, ADVICE): ``zip_with`` pads the shorter side
+    with NULL, so a vector whose length differs from the plane dimension
+    yields a NULL dot (the old posexplode+join summed present positions,
+    missing = 0). Every producer in this repo emits exactly ``len(planes[i])``
+    dims (EMB_DIM fixtures) and the oracle shares the assumption; guard
+    with ``size(vec) = dim`` before calling if variable-length vectors ever
+    become possible."""
     n_planes = len(planes)
     bits_per_band = n_planes // n_bands
     # wide families as parsed SQL strings — identical trees, one Py4J

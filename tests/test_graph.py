@@ -91,6 +91,22 @@ def test_cc_star_forest_converges_in_one_round(spark, monkeypatch):
     assert calls["n"] == 1, f"star forest should converge in one round, ran {calls['n']}"
 
 
+def test_cc_star_multi_parent_not_converged(spark):
+    """r12 regression (ADVICE high): 'no v appears as a u' alone is NOT a
+    convergence proof — after round 1 of this path graph, node 5 holds
+    parents 1 AND 2 with no chained v, and breaking there splits the single
+    component in two. The fixed criterion also requires each u to have
+    exactly one parent (n == countDistinct(u))."""
+    from mta_rtf_dbt_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(10, 5), (20, 5), (10, 6), (6, 1), (20, 7), (7, 2)],
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in connected_components_star(edges).collect()}
+    assert out == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 10: 1, 20: 1}
+
+
 def _pagerank_reference(edges, n_iter=3, scale=10**12):
     """Pure-Python replay of the integer PageRank recurrence."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
