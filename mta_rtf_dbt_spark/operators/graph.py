@@ -828,7 +828,9 @@ _TRIANGLE_SQL = (
 )
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, scope: str, eager: bool = True
+) -> DataFrame:
     """Canonical (u < v) edge relation of the part co-purchase graph:
     parts sharing an order are linked. Per-order basket combos (r11):
     collect each order's sorted distinct part set with one map-combined
@@ -839,7 +841,10 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame
     combos-per-order is C(basket, 2), exactly the rows the join emitted,
     and baskets are small so the per-row expansion is bounded (same skew
     envelope as the join). Measured sf0.1 warm: 1.61 s -> 1.34 s, pair
-    set identical. Persisted — both triangle operators read it thrice."""
+    set identical. Persisted — both triangle operators read it thrice.
+    ``eager=False`` lets a caller that immediately runs its own single-
+    subtree materializing action (graph_triangles' fused stats pass, r12)
+    skip the dedicated count job."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         li.groupBy("l_orderkey")
@@ -860,7 +865,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame
     pairs = (
         baskets.select(F.explode(combos).alias("c")).select("c.u", "c.v").distinct()
     )
-    return scoped_persist(pairs, scope, eager=True)
+    return scoped_persist(pairs, scope, eager=eager)
 
 
 def _degrees(pairs: DataFrame) -> DataFrame:
@@ -882,7 +887,7 @@ def _degrees(pairs: DataFrame) -> DataFrame:
 ADJ_BROADCAST_MAX = int(os.environ.get("GRAFT_ADJ_BROADCAST_MAX", 4_000_000_000))
 
 
-def _edge_triangles(pairs: DataFrame) -> DataFrame:
+def _edge_triangles(pairs: DataFrame, n_edges: int | None = None) -> DataFrame:
     """Per-edge triangle closings via the adjacency-intersect FORWARD
     algorithm — wedges are NEVER materialized as rows (r9 verdict item 1).
 
@@ -925,12 +930,31 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
     bounded per-key by the same sqrt(m) orientation bound. The warning
     makes the regime change loud.
     """
+    # Size the broadcast from the cheap persisted-edge count (pairs is
+    # caller-persisted; |oriented| == |pairs|): payload is 8 B/element * E
+    # plus per-row overhead (~24 B * V <= 24 B * E). The budget sizes ONE
+    # exchange and the plan materializes one by construction — pinned by
+    # tests/test_graph.py::test_graph_triangles_plan_is_broadcast.
+    if n_edges is None:
+        n_edges = pairs.count()
+    est_bytes = n_edges * 32
     deg = _degrees(pairs)
-    # Orient each edge toward the higher-(degree, id) endpoint. Both
-    # degree lookups ride ONE equi-join each; the degree relation is tiny
-    # relative to edges (|V| vs |E|) and AQE broadcasts it when it fits.
+    # Orient each edge toward the higher-(degree, id) endpoint. Both degree
+    # lookups ride ONE equi-join each. The degree relation (24 B * |V| <=
+    # 32 B * |E| = est_bytes) is broadcast EXPLICITLY whenever the strictly
+    # larger adjacency broadcast below fits the same budget (r12): the
+    # static planner only sees size estimates and picked SortMergeJoin —
+    # two full exchanges + sorts of the edge set — and AQE's runtime
+    # conversion still pays the edge-set shuffle it re-plans from.
+    # Isolated A/B at sf0.1 (orient->adjacency, min of 3): SMJ 1.74 s vs
+    # broadcast 1.50 s. deg is NOT persisted: each broadcast build runs the
+    # small |V| aggregate itself — an eager persist + count was measured
+    # 0.6 s WORSE end-to-end (two extra driver jobs dwarf the duplicated
+    # tiny aggregate; same lesson as the r11 n_nodes ReusedExchange note).
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if est_bytes <= ADJ_BROADCAST_MAX:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     lower_first = F.expr("du < dv OR (du = dv AND u < v)")
     oriented = (
         pairs.join(du, "u").join(dv, "v")
@@ -939,13 +963,6 @@ def _edge_triangles(pairs: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    # Size the broadcast from the cheap persisted-edge count (pairs is
-    # caller-persisted; |oriented| == |pairs|): payload is 8 B/element * E
-    # plus per-row overhead (~24 B * V <= 24 B * E). The budget sizes ONE
-    # exchange and the plan materializes one by construction — pinned by
-    # tests/test_graph.py::test_graph_triangles_plan_is_broadcast.
-    n_edges = pairs.count()
-    est_bytes = n_edges * 32
     # The adjacency relation is the ONLY persisted intermediate: both the
     # probe (explode) and the build (broadcast) read this one cache, so
     # the groupBy shuffle and the collect_list aggregate run once. On the
@@ -999,23 +1016,35 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are counted per edge as the intersection size of the endpoints'
     degree-oriented out-neighborhoods — wedges never become rows, so the
     only wide shuffles are O(edges)."""
-    pairs = _copurchase_pairs(spark, sf_dir, "tri.pairs")
-    tri = _edge_triangles(pairs).agg(
+    pairs = _copurchase_pairs(spark, sf_dir, "tri.pairs", eager=False)
+    # ONE fused stats pass (r12) replaces three jobs/branches: the eager
+    # persist count, the n_edges crossJoin branch, and the n_nodes
+    # countDistinct branch (whose union re-scanned the cache twice). The
+    # explode action materializes the lazy persist (single subtree, no
+    # concurrent-recompute window); count(*) over both endpoints is exactly
+    # 2*|E|, and countDistinct is the node set — the same values the
+    # crossJoin branches computed, now emitted as driver literals
+    # (recomputed from the parquet inputs on every invocation; nothing is
+    # memoized). r11's lesson (deg-based n_nodes +1.2 s: ReusedExchange
+    # never fired across branches) stands — this shares by running ONE
+    # aggregate, not by hoping two branches dedupe.
+    stats = (
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("ends"),
+            F.countDistinct("x").alias("nn"),
+        )
+        .first()
+    )
+    n_edges, n_nodes = int(stats.ends) // 2, int(stats.nn)
+    tri = _edge_triangles(pairs, n_edges=n_edges).agg(
         F.coalesce(F.sum(F.size("zs")), F.lit(0)).cast("long").alias("n_triangles")
     )
-    ne = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    # n_nodes stays a countDistinct over the cached pairs: expressing it as
-    # _degrees(pairs).agg(count) to share the orientation pass's degree
-    # exchange was tried in r11 and measured +1.2 s — the hoped-for
-    # ReusedExchange does not fire across the branches, so the "shared"
-    # subtree re-ran the full degree aggregate, while countDistinct's
-    # partial dedup is map-combined before its one exchange.
-    nn = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
-        .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+    return tri.select(
+        "n_triangles",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
     )
-    return tri.crossJoin(ne).crossJoin(nn)
 
 
 # Same cached-prefix wedge probe as _TRIANGLE_SQL; each closed wedge

@@ -1,9 +1,9 @@
-"""Capture .explain('formatted') for named queries() entries into plans/r11/.
+"""Capture .explain('formatted') for named queries() entries into plans/r12/.
 
 Usage: python tools/capture_plans.py <suffix> <name> [<name> ...]
        python tools/capture_plans.py before graph_triangles dedup_keep_best
 
-Writes plans/r11/<name>_<suffix>.txt. Plans are built (not executed) against
+Writes plans/r12/<name>_<suffix>.txt. Plans are built (not executed) against
 $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] with the same
 session shape as bench.py, so Exchange counts / join strategies / pushed
 filters match what the bench executes.
@@ -22,7 +22,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    out_dir = os.path.join(repo, "plans", "r11")
+    out_dir = os.path.join(repo, "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
