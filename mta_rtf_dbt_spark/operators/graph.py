@@ -187,6 +187,14 @@ def connected_components_star(
     checked exactly (anti-join + count, no probabilistic hash compare).
     At the fixpoint every non-root node holds exactly one edge to its
     component's min id; labels read off the edges with no further pass.
+
+    A ``canonical=True`` fast path (skip the preamble's two distinct
+    exchanges when the caller guarantees distinct src < dst edges, e.g.
+    the jaccard group graph) was tried in r12 and measured WORSE at sf0.1
+    (interleaved min 1.20 s vs 1.08 s on the real contracted graph): the
+    preamble distincts leave the edge set in AQE-coalesced tiny
+    partitions that every later round inherits, which outweighs the two
+    saved exchanges at this scale. Revisit only with a >=sf1 measurement.
     """
     # Lineage-cut checkpoints are LAZY (r11): each round's single driver
     # action (the stats aggregate below) materializes the round's edge set
@@ -231,10 +239,10 @@ def connected_components_star(
         )
         nxt = _small_star(_large_star(und), oriented=True).localCheckpoint(eager=False)
         # one action per round: converged iff nxt is a FUNCTIONAL star
-        # forest — no v ever appears as a u (chained == 0) AND every u has
-        # exactly one parent (n == countDistinct(u); nxt rows are distinct,
-        # so a duplicated u means two different parents). Both conditions
-        # are required (r12, ADVICE high): chained == 0 alone accepts
+        # forest — no node ever appears both as a u and as a v (chained),
+        # AND every u has exactly one parent (nxt rows are distinct, so a
+        # u on >= 2 rows means two different parents). Both conditions are
+        # required (r12, ADVICE high): no-chained alone accepts
         # multi-parent states — e.g. path edges (10,5),(20,5),(10,6),(6,1),
         # (20,7),(7,2) give node 5 parents 1 and 2 in round 1 with no
         # chained v, and breaking there splits one component in two. A
@@ -242,21 +250,31 @@ def connected_components_star(
         # (large-star links every leaf to the root it already points at;
         # small-star re-emits the same star), so the combined test still
         # detects convergence ONE ROUND EARLIER than the r10 edge-set-
-        # equality test, with none of its false positives. The check rides
-        # the same single aggregate job that materializes the round's
-        # checkpoint.
-        chained_probe = nxt.select(F.col("u").alias("v")).distinct()
-        stats = (
-            nxt.join(chained_probe.withColumn("__chained", F.lit(1)), "v", "left")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("u").alias("nu"),
-                F.sum(F.coalesce(F.col("__chained"), F.lit(0))).alias("chained"),
+        # equality test, with none of its false positives. Shape (r12):
+        # one explode + per-node groupBy + tiny final agg — the former
+        # probe join (distinct-u exchange + edge-set join) and the
+        # countDistinct Expand are gone; the check still rides the single
+        # aggregate job that materializes the round's checkpoint.
+        per_node = (
+            nxt.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("x"), F.lit(1).alias("isu")),
+                        F.struct(F.col("v").alias("x"), F.lit(0).alias("isu")),
+                    )
+                ).alias("e")
             )
-            .first()
+            .groupBy("e.x")
+            .agg(F.sum("e.isu").alias("as_u"), F.count(F.lit(1)).alias("cnt"))
         )
+        stats = per_node.agg(
+            F.max(
+                ((F.col("as_u") > 0) & (F.col("cnt") > F.col("as_u"))).cast("int")
+            ).alias("chained"),
+            F.max((F.col("as_u") > 1).cast("int")).alias("multi"),
+        ).first()
         cur = nxt
-        if (stats.chained or 0) == 0 and stats.n == stats.nu:
+        if (stats.chained or 0) == 0 and (stats.multi or 0) == 0:
             break
     mapping = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
     return nodes.join(mapping, "node", "left").select(
