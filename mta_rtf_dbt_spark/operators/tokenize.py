@@ -260,7 +260,19 @@ def bpe_train_state(
         if top is None:
             break
         merges.append((rank, top["a"], top["b"], top["a"] + top["b"], int(top["n"])))
-        wc = wc.withColumn("syms", _apply_merge(F.col("syms"), top["a"], top["b"]))
+        # Filtered update (r12): the render->replace->split chain only runs
+        # on words that can possibly contain the pair — the merge pattern
+        # requires symbol `a` to be present, so array_contains(syms, a) is
+        # an EXACT precondition (_apply_merge is the identity otherwise)
+        # and every other word passes through untouched. Merges and final
+        # segmentations are identical by construction.
+        wc = wc.withColumn(
+            "syms",
+            F.when(
+                F.array_contains(F.col("syms"), top["a"]),
+                _apply_merge(F.col("syms"), top["a"], top["b"]),
+            ).otherwise(F.col("syms")),
+        )
         wc = wc.localCheckpoint(eager=False)
     return merges, wc
 
