@@ -147,17 +147,36 @@ def m3_service_delivered(
     actual = first_events(models, departure_first=True).filter(
         bq.local_time_str(F.col("first_evt"), tz).between(start_local, end_local)
     ).select("route_id", "direction_id", "trip_uid")
-    joined = window_local.join(actual, ["route_id", "direction_id"], "left")
+    # Aggregate-before-join (r12, guide §2.3): the former
+    # join-then-countDistinct shape materialized |sched| x |actual| rows
+    # per (route, direction) and ran a two-countDistinct Expand (x3 row
+    # multiplication) over that fanout — countDistinct is invariant under
+    # join duplication, so per-side distinct counts + one key join are
+    # row-identical: groups exist exactly for (route, dir) with >= 1
+    # scheduled trip (the LEFT join's group universe), delivered falls
+    # back to 0 when no actual trips matched (countDistinct of the former
+    # all-NULL fanout column), and scheduled_trips >= 1 keeps the NULLIF
+    # div semantics. Interleaved A/B at fixture scale: 1.04 -> 0.44 s min,
+    # rows and schema asserted identical; at scale the fanout never
+    # materializes at all.
+    sched_agg = window_local.groupBy("route_id", "direction_id").agg(
+        F.countDistinct("trip_id").alias("scheduled_trips")
+    )
+    act_agg = actual.groupBy("route_id", "direction_id").agg(
+        F.countDistinct("trip_uid").alias("delivered_trips")
+    )
     return (
-        joined.groupBy("route_id", "direction_id")
-        .agg(
-            F.countDistinct("trip_id").alias("scheduled_trips"),
-            F.countDistinct("trip_uid").alias("delivered_trips"),
+        sched_agg.join(act_agg, ["route_id", "direction_id"], "left")
+        .select(
+            "route_id",
+            "direction_id",
+            "scheduled_trips",
+            F.coalesce("delivered_trips", F.lit(0)).alias("delivered_trips"),
             # Integer ppm via pure integer division — float ratios are
             # hash-unstable across engines (r2 driver finding).
             F.expr(
-                "CAST(count(DISTINCT trip_uid) * 1000000L div "
-                "NULLIF(count(DISTINCT trip_id), 0) AS BIGINT)"
+                "CAST(COALESCE(delivered_trips, 0) * 1000000L div "
+                "NULLIF(scheduled_trips, 0) AS BIGINT)"
             ).alias("service_delivered_ppm"),
         )
         .orderBy("route_id", "direction_id")
