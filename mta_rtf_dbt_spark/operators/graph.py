@@ -558,8 +558,21 @@ def pagerank(
     # one contrib join per round — reads e exactly once per job, so there
     # is no concurrent-recompute window; the former eager count was a
     # whole extra materialization pass over the join+distinct.
+    #
+    # Pre-partitioned by src (r12, guide §2.4): InMemoryRelation preserves
+    # its child's output partitioning, so every round's contrib join finds
+    # the edge side already hashpartitioned(src) and exchanges only the
+    # |V|-sized rank projection — the former plan re-shuffled the cached
+    # |E|-row edge set once per round. Width = the session's shuffle
+    # partitioning (scale-adaptive, not a local constant). Interleaved A/B
+    # at sf0.1: 2.73/3.22 -> 2.05/2.15 s (min/median), identical ranks.
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     e = scoped_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition(n_shuffle, "src"),
         "pr.edges",
     )
     # One pass computes the node universe AND out-degrees together (r6 —
@@ -586,11 +599,19 @@ def pagerank(
         dangling = ranks.filter(F.col("od") == 0).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d")
         )
+        # Project (and divide) BEFORE the join (r12, guide §2.3): the
+        # per-source quotient r div od is constant per src, so it is
+        # computed |V| times instead of once per edge, and the rank-side
+        # exchange carries (src, rc) instead of (src, od, r). od = 0 rows
+        # can never match the join (src in e implies od >= 1), so the
+        # filter is exact.
+        rc = ranks.filter(F.col("od") > 0).select(
+            F.col("node").alias("src"), F.expr("r div od").alias("rc")
+        )
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("r div od").alias("c"))
+            e.join(rc, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").cast("long").alias("c"))
+            .agg(F.sum("rc").cast("long").alias("c"))
         )
         ranks = (
             nd.join(contrib, "node", "left")
