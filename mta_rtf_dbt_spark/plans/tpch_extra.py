@@ -888,7 +888,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD")
     )
-    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Pre-filter the fact with the selective part predicate BEFORE the
+    # (partkey, suppkey) exchange (r12, guide §3.2): every surviving output
+    # row joins the filtered `p` anyway, and per-part aggregates (offer
+    # cost, best min) depend only on that part's own lineitem rows, so the
+    # broadcast semi-join is exact while the offer aggregate shuffles only
+    # matching lines. Interleaved A/B at sf0.1: 1.31/1.60 -> 0.74/0.95 s
+    # (min/median), top-100 identical.
+    li_f = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
+    offer = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_dec(F.col("l_extendedprice"))).alias("cost")
     )
     eu = (
@@ -1078,10 +1090,29 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 1000.0)
         .select("s_suppkey")
     )
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # Filter BEFORE the distinct exchange (r12, guide §3.2): both predicates
+    # are per-row on the pair's own keys (selective part attrs via broadcast
+    # semi-join, flagged suppliers via broadcast anti-join), so pushing them
+    # below the distinct keeps the distinct set identical restricted to
+    # surviving pairs — the only pairs the query ever aggregates — while the
+    # distinct shuffles a fraction of the fact. Interleaved A/B at sf0.1 in
+    # the commit message.
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(flagged.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_anti",
+        )
+    )
+    ps = pairs.distinct()
     return (
-        ps.join(F.broadcast(flagged), ps.l_suppkey == flagged.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(
