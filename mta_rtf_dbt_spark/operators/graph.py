@@ -470,9 +470,13 @@ def doc_jaccard_components(
             f"doc_jaccard_components: threshold {threshold} > 1.0 breaks the "
             "identical-set clique contraction (within-group Jaccard is 1.0)"
         )
-    from mta_rtf_dbt_spark.operators.dedup import jaccard_group_graph, shingles
+    from mta_rtf_dbt_spark.operators.dedup import jaccard_group_graph_sets
 
-    groups, gq = jaccard_group_graph(shingles(docs, 3), threshold, max_posting)
+    # Array-form group build (r12): per-doc shingle SETS stay a column and
+    # the hot cap is an in-plan array_except, skipping the exploded
+    # relation's full-payload groupBy(doc_id) exchange — identical groups
+    # (see jaccard_group_graph_sets; A/B'd at sf0.1 and clone-dense sf3).
+    groups, gq = jaccard_group_graph_sets(docs, threshold, max_posting)
     comp_g = connected_components(gq.select("ga", "gb"), "ga", "gb")
     # comp is a tiny (node, component) labeling (cluster members only) that
     # every caller fans out into 2+ subtrees (labeled -> reps + final join);
